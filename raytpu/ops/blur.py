@@ -1,0 +1,100 @@
+"""Depth-of-field post blur.
+
+Reference: CalculateDOF (`raytracer/Source/raytracer.cpp:608-656`;
+byte-identical logic in `rasteriser/Source/rasteriser.cpp:484-529`).
+An 8x8 box kernel (offsets ceil(-K/2) .. ceil(K/2)-1 = -4..3 for K=8) whose
+center weight decays with the pixel's |focal distance| (`:630-637`):
+
+  w_center = 1 - min(|fd|, 1) * (K^2 - 1) / K^2
+  w_other  =     min(|fd|, 1) / K^2
+
+Because the weights depend only on the CENTER pixel, the whole blur is
+``w_c * img + w_o * (box_sum - img)`` — one reduce_window, no gather.
+
+Two variants:
+  * dof_blur_parity — reproduces the reference's flat-buffer indexing
+    (`pixelColours[(y+z)*H + (x+z2)]`, `:637`): out-of-row neighbours wrap
+    into adjacent rows; indices outside the buffer contribute zero. Also
+    writes only x, y in [1, S-2], leaving a black 1-px border (`:618-620`).
+  * dof_blur — clean 2D zero-padded window.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _weights(focal_distances: jax.Array, kernel_size: int):
+    total = jnp.float32(kernel_size * kernel_size)
+    m = jnp.minimum(jnp.abs(focal_distances), 1.0)
+    w_center = 1.0 - m * ((total - 1.0) / total)
+    w_other = m * (1.0 / total)
+    return w_center, w_other
+
+
+def _interior_mask(h: int, w: int, dtype=jnp.float32):
+    """1.0 on [1, S-2] x [1, S-2], 0 on the 1-px border (`:618-620`)."""
+    row = (jnp.arange(h) >= 1) & (jnp.arange(h) <= h - 2)
+    col = (jnp.arange(w) >= 1) & (jnp.arange(w) <= w - 2)
+    return (row[:, None] & col[None, :]).astype(dtype)
+
+
+def dof_blur(img: jax.Array, focal_distances: jax.Array,
+             kernel_size: int = 8) -> jax.Array:
+    """Clean DoF blur: proper 2D neighbourhood, zero padding at borders."""
+    h, w, _ = img.shape
+    lo = -(kernel_size // 2)
+    hi = kernel_size + lo  # exclusive
+    w_center, w_other = _weights(focal_distances, kernel_size)
+    box = jax.lax.reduce_window(
+        img,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(kernel_size, kernel_size, 1),
+        window_strides=(1, 1, 1),
+        padding=((-lo, hi - 1), (-lo, hi - 1), (0, 0)),
+    )
+    out = w_center[..., None] * img + w_other[..., None] * (box - img)
+    return out * _interior_mask(h, w)[..., None]
+
+
+def dof_blur_parity(img: jax.Array, focal_distances: jax.Array,
+                    kernel_size: int = 8) -> jax.Array:
+    """Bit-faithful DoF blur with the reference's flat-index neighbourhood."""
+    h, w, _ = img.shape
+    flat = img.reshape(h * w, 3)
+    n = h * w
+    lo = -(kernel_size // 2)  # ceil(K / -2)
+    hi = kernel_size + lo
+    w_center, w_other = _weights(focal_distances.reshape(-1), kernel_size)
+
+    box = jnp.zeros_like(flat)
+    for z in range(lo, hi):
+        for z2 in range(lo, hi):
+            if z == 0 and z2 == 0:
+                continue
+            shift = z * h + z2  # flat offset, H==W assumed like the ref
+            # Shifted view with zero fill outside [0, n) — matches the
+            # oracle's handling of the reference's unchecked indexing.
+            rolled = jnp.roll(flat, -shift, axis=0)
+            idx = jnp.arange(n) + shift
+            valid = ((idx >= 0) & (idx < n))[:, None]
+            box = box + jnp.where(valid, rolled, 0.0)
+
+    out = w_center[:, None] * flat + w_other[:, None] * box
+    out = out.reshape(h, w, 3)
+    return out * _interior_mask(h, w)[..., None]
+
+
+def dof_apply(img: jax.Array, focal_distances: jax.Array, cfg) -> jax.Array:
+    """Apply the DoF stage per RenderConfig; when DoF is off only the border
+    blanking applies (CalculateDOF still skips border pixels, `:618-620`)."""
+    h, w, _ = img.shape
+    if not cfg.dof_enabled:
+        if cfg.mode == "parity":
+            return img * _interior_mask(h, w)[..., None]
+        return img
+    if cfg.mode == "parity":
+        return dof_blur_parity(img, focal_distances, cfg.dof_kernel_size)
+    return dof_blur(img, focal_distances, cfg.dof_kernel_size)

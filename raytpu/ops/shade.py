@@ -1,0 +1,103 @@
+"""Direct lighting + shadow shading (jnp / XLA path).
+
+Vectorized re-design of DirectLight (`raytracer/Source/raytracer.cpp:265-327`)
+over all pixels at once. The light bank is a statically-sized padded array
+(:class:`raytpu.core.types.Lights`); the per-light python loop below unrolls
+into the traced graph (light capacity drives cost — create Lights with a
+small capacity for benchmarking).
+
+Physics per light sample (`raytracer.cpp:294-304`):
+  P = color * intensity / samples        (soft-shadow split, `:296`)
+  A = 4 * pi * r^2                       (inverse-square falloff, `:295`)
+  D = (P / A) * max(dot(r_hat, n_hat), 0)
+with the shadow ray traced FROM the light toward the surface and occlusion
+declared when something sits closer than 0.99 * r (`raytracer.cpp:307-315`).
+
+Modes:
+  * parity — reproduces the reference's accumulation run-on: ``result`` is
+    never reset between lights, so light k is counted (L - k) times
+    (`raytracer.cpp:269-322`). Exact for the default single light.
+  * clean  — each light counted once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.core.types import Lights, RenderConfig, Scene
+from raytpu.ops.intersect import intersect_scene
+
+
+def direct_light(
+    hit_pos: jax.Array,
+    hit_idx: jax.Array,
+    scene: Scene,
+    lights: Lights,
+    cfg: RenderConfig,
+) -> jax.Array:
+    """Direct-light irradiance term ("result2") per ray, before albedo.
+
+    Args:
+      hit_pos: (R, 3) surface positions.
+      hit_idx: (R,) triangle indices (clamped to valid range by caller).
+
+    Returns (R, 3). The caller composites per mode:
+      parity: ``p * (direct * p + ambient)`` — albedo applied twice to the
+              direct term (`raytracer.cpp:325-326` then `:584-588`).
+      clean:  ``p * (direct + ambient)``.
+    """
+    samples = cfg.soft_shadow_samples
+    normals = scene.normals()
+    n_dir = normals[hit_idx]  # glm::normalize(triangle.normal) (`:300`)
+
+    result = jnp.zeros_like(hit_pos)  # parity: never reset across lights
+    result2 = jnp.zeros_like(hit_pos)
+
+    for k in range(lights.capacity):
+        mask_k = lights.mask[k]
+        light_color = lights.color[k] * lights.intensity[k]
+        P = light_color / jnp.float32(samples)  # (`:296`)
+        light_sum = jnp.zeros_like(hit_pos)
+        for s in range(samples):
+            if samples > 1:
+                position = lights.jitter[k, s]  # (`:286`)
+            else:
+                position = lights.position[k]  # (`:290`)
+
+            delta = hit_pos - position[None, :]
+            r = jnp.linalg.norm(delta, axis=-1)
+            A = 4.0 * jnp.pi * (r * r)  # (`:295`)
+            r_dir = -delta / r[:, None]  # normalize(position - pos) (`:298`)
+            B = P[None, :] / A[:, None]
+            lam = jnp.maximum(jnp.sum(r_dir * n_dir, axis=-1), 0.0)
+            D = B * lam[:, None]
+
+            # Shadow ray from the light toward the surface (`:307-315`).
+            sh = intersect_scene(position, -r_dir, scene,
+                                 tri_chunk=cfg.tri_chunk)
+            # r_dir is unit length, so t is the Euclidean distance.
+            occluded = sh.hit & (sh.t < r * jnp.float32(0.99))
+            D = jnp.where(occluded[:, None], 0.0, D)
+            light_sum = light_sum + D
+
+        if cfg.mode == "parity":
+            result = result + mask_k * light_sum
+            result2 = result2 + mask_k * result  # run-on accumulation (`:322`)
+        else:
+            result2 = result2 + mask_k * light_sum
+
+    return result2
+
+
+def composite(direct: jax.Array, albedo: jax.Array, hit: jax.Array,
+              cfg: RenderConfig) -> jax.Array:
+    """Final per-ray color (`raytracer.cpp:583-591`). Non-hits are black."""
+    ambient = jnp.float32(cfg.ambient)
+    if cfg.mode == "parity":
+        # DirectLight already multiplied by p (`:325-326`); Draw multiplies
+        # by p again (`:587-588`).
+        color = albedo * (direct * albedo + ambient)
+    else:
+        color = albedo * (direct + ambient)
+    return jnp.where(hit[:, None], color, 0.0)

@@ -1,0 +1,117 @@
+"""JAX raytracer vs the numpy parity oracle.
+
+The oracle (raytpu.oracle.raytracer_oracle) re-derives the C++ math
+bit-for-bit; the jnp path reformulates it (matmul Möller-Trumbore), so we
+require float32 closeness and u8-quantized near-equality rather than bit
+equality (XLA reassociates).
+"""
+
+import numpy as np
+import pytest
+
+from raytpu.core.cornell import cornell_box, cornell_box_numpy
+from raytpu.core.image import quantize_u8
+from raytpu.core.types import Camera, Lights, RenderConfig
+from raytpu.oracle import raytracer_oracle as oracle
+from raytpu.render.raytrace import raytrace_full
+
+
+def _oracle_render(**kw):
+    return oracle.render(cornell_box_numpy(), **kw)
+
+
+def _jax_render(cfg, camera=None, lights=None):
+    scene = cornell_box()
+    camera = camera or Camera.raytracer_default()
+    lights = lights or Lights.single(capacity=1)
+    out = raytrace_full(scene, camera, lights, cfg)
+    return np.asarray(out.image), np.asarray(out.focal_distances)
+
+
+def _assert_images_match(a, b, f32_atol=2e-4, u8_frac=0.999, u8_tol=1):
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=f32_atol, rtol=1e-3)
+    qa, qb = quantize_u8(a), quantize_u8(b)
+    close = (
+        np.abs(qa.astype(int) - qb.astype(int)).max(axis=-1) <= u8_tol
+    ).mean()
+    assert close >= u8_frac, f"only {close:.4%} of pixels within {u8_tol}"
+
+
+@pytest.mark.parametrize("size", [64])
+def test_default_render_parity(size):
+    """Default config: hard shadows, one light, no AA/DoF."""
+    cfg = RenderConfig(width=size, height=size)
+    img_j, fd_j = _jax_render(cfg)
+    img_o, fd_o = _oracle_render(width=size, height=size)
+    _assert_images_match(img_j, img_o)
+    np.testing.assert_allclose(fd_j, fd_o, atol=1e-4)
+
+
+def test_default_render_nontrivial():
+    cfg = RenderConfig(width=64, height=64)
+    img, _ = _jax_render(cfg)
+    # Black parity border, lit interior.
+    assert img[0].max() == 0 and img[:, 0].max() == 0
+    interior = img[1:-1, 1:-1]
+    assert interior.max() > 0.3
+    # Shadows present: some interior pixels near ambient-only level
+    # (parity composite p*(D*p + 0.2); shadowed white wall sums to 0.45).
+    assert (interior.sum(-1) < 0.46).any()
+
+
+def test_aa_parity():
+    cfg = RenderConfig(width=48, height=48, aa_samples=3)
+    img_j, _ = _jax_render(cfg)
+    img_o, _ = _oracle_render(width=48, height=48, aa_samples=3)
+    _assert_images_match(img_j, img_o, u8_frac=0.995)
+
+
+def test_soft_shadows_parity():
+    samples = 4
+    lights = Lights.single(capacity=1, soft_samples=samples)
+    jitter = np.asarray(lights.jitter)[:1]  # (1, S, 3)
+    cfg = RenderConfig(width=32, height=32, soft_shadow_samples=samples)
+    img_j, _ = _jax_render(cfg, lights=lights)
+    img_o, _ = _oracle_render(
+        width=32, height=32, soft_positions=jitter
+    )
+    _assert_images_match(img_j, img_o, u8_frac=0.99)
+
+
+def test_dof_parity():
+    cfg = RenderConfig(width=32, height=32, dof_enabled=True)
+    img_j, _ = _jax_render(cfg)
+    img_o, _ = _oracle_render(width=32, height=32, dof_enabled=True)
+    _assert_images_match(img_j, img_o, u8_frac=0.99)
+
+
+def test_multi_light_parity_quirk():
+    """Two lights exercise the reference's accumulation run-on bug
+    (`raytracer.cpp:322`): light 0 is counted twice."""
+    lights = Lights.single(capacity=2)
+    lights = lights.add(
+        (0.4, -0.4, -0.2), (0.8, 0.9, 1.0), 6.0,
+        key=__import__("jax").random.PRNGKey(7),
+    )
+    lp = np.asarray(lights.position)[:2]
+    lc = np.asarray(lights.color)[:2]
+    li = np.asarray(lights.intensity)[:2]
+    cfg = RenderConfig(width=32, height=32)
+    img_j, _ = _jax_render(cfg, lights=lights)
+    img_o, _ = _oracle_render(
+        width=32, height=32,
+        light_positions=lp, light_colors=lc, light_intensities=li,
+    )
+    _assert_images_match(img_j, img_o, u8_frac=0.99)
+
+
+def test_clean_mode_single_albedo():
+    """clean mode applies albedo once — differs from parity by p^2 vs p."""
+    cfg_p = RenderConfig(width=32, height=32, mode="parity")
+    cfg_c = RenderConfig(width=32, height=32, mode="clean")
+    img_p, _ = _jax_render(cfg_p)
+    img_c, _ = _jax_render(cfg_c)
+    assert not np.allclose(img_p, img_c)
+    # clean >= parity wherever lit (albedo <= 1 so p*D <= D... p^2*D <= p*D).
+    assert (img_c - img_p).min() >= -1e-5
