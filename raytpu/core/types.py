@@ -302,6 +302,9 @@ class RenderConfig:
                            `rasteriser.cpp:47`).
       tri_chunk:           triangles streamed per step in the intersection
                            loop (memory/VMEM tiling knob, not semantics).
+      raster_tri_chunk:    triangles per step in the rasterizer's pixel-major
+                           depth resolve (materializes a (chunk, H, W) zinv
+                           volume — keep small).
       soft_edge_sharpness / soft_z_sharpness: temperatures of the sigmoid
                            edge test and softmax z-resolve in 'soft' mode.
     """
@@ -317,6 +320,7 @@ class RenderConfig:
     frustum_cull: bool = True
     ambient: float = 0.2
     tri_chunk: int = 512
+    raster_tri_chunk: int = 64
     soft_edge_sharpness: float = 100.0
     soft_z_sharpness: float = 100.0
     use_pallas: bool = False

@@ -1,5 +1,58 @@
-"""Public rasterize API — implemented in milestone M2 (placeholder)."""
+"""Public rasterize API — pure, jittable.
+
+Pixel-major deferred-shading re-design of the reference scanline rasteriser
+(`rasteriser/Source/rasteriser.cpp`): see raytpu.ops.raster for the stage
+pipeline. Modes follow RenderConfig.mode:
+
+  * 'parity' — scanline-faithful coverage (Bresenham left-pixel skip,
+    attribute lag, truncated vertex coords) + CalculateDOF border behavior.
+  * 'clean'  — same hard pipeline without the border blanking (the coverage
+    quirks are part of the geometry and kept; a float-precise edge-function
+    rasterizer lives in the 'soft' path's hard limit).
+  * 'soft'   — differentiable edge/z relaxation, raytpu.render.soft.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.core.types import Camera, Lights, RenderConfig, Scene
+from raytpu.ops.blur import dof_apply
+from raytpu.ops.raster import (
+    GBuffer,
+    cull_mask,
+    pixel_shade,
+    resolve_depth,
+    row_bounds,
+    vertex_stage,
+)
 
 
-def rasterize(scene, camera, lights, cfg):
-    raise NotImplementedError("rasterize lands in M2")
+class RasterOut(NamedTuple):
+    image: jax.Array            # (H, W, 3) float32
+    focal_distances: jax.Array  # (H, W) float32
+    gbuffer: GBuffer
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rasterize_full(scene: Scene, camera: Camera, lights: Lights,
+                   cfg: RenderConfig) -> RasterOut:
+    keep = cull_mask(scene, camera, cfg)
+    vd = vertex_stage(scene, camera, cfg)
+    bounds = row_bounds(vd, cfg)
+    g = resolve_depth(bounds, keep, cfg)
+    color, fd = pixel_shade(g, scene, camera, lights, cfg)
+    img = color.reshape(cfg.height, cfg.width, 3)
+    fd = fd.reshape(cfg.height, cfg.width)
+    out = dof_apply(img, fd, cfg)
+    return RasterOut(image=out, focal_distances=fd, gbuffer=g)
+
+
+def rasterize(scene: Scene, camera: Camera, lights: Lights,
+              cfg: RenderConfig) -> jax.Array:
+    """Render and return the (H, W, 3) float32 image."""
+    return rasterize_full(scene, camera, lights, cfg).image

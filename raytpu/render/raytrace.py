@@ -60,7 +60,9 @@ def camera_ray_dirs(xs, ys, camera: Camera, cfg: RenderConfig) -> jax.Array:
         ],
         axis=-1,
     )
-    return d @ camera.rotation().T
+    # HIGHEST: bf16 default matmul precision on TPU shifts ray dirs ~1e-3.
+    return jnp.matmul(d, camera.rotation().T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _subpixel_offsets(cfg: RenderConfig):
