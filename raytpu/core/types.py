@@ -74,7 +74,13 @@ class Scene:
         (`TestModel.h:30`). (T, 3)."""
         e1, e2 = self.edges()
         n = jnp.cross(e2, e1)
-        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        # Padded/degenerate triangles have |n| = 0; return 0 instead of NaN.
+        # Both the division AND the sqrt input are guarded — sqrt(0) has an
+        # infinite derivative that turns a zero cotangent into NaN in
+        # reverse-mode AD even when the forward value is masked out.
+        norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.where(norm2 > 0.0, norm2, 1.0))
+        return jnp.where(norm2 > 0.0, n, 0.0) / norm
 
     def pad_to(self, size: int) -> "Scene":
         """Pad triangle arrays to `size` with inactive degenerate triangles.

@@ -95,13 +95,18 @@ def _chunk_hits(dirs: jax.Array, m: jax.Array, k0: jax.Array,
     du = prods[..., 1]
     dv = prods[..., 2]
     denom = -dn  # e1e2d (`raytracer.cpp:232`)
-    t = k0[None, :] / denom
-    u = du / denom
-    v = dv / denom
+    # Grad-safe division: a zero denominator (ray parallel to the plane)
+    # fails the hit test in the reference via inf/NaN comparisons; divide by
+    # a safe value and mask explicitly so reverse-mode AD stays NaN-free.
+    nonpar = denom != 0.0
+    denom_safe = jnp.where(nonpar, denom, 1.0)
+    t = k0[None, :] / denom_safe
+    u = du / denom_safe
+    v = dv / denom_safe
     # Inclusive bounds exactly as `raytracer.cpp:239`. NaNs (degenerate /
     # padded triangles) fail every comparison.
     ok = (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0)
-    ok &= valid[None, :] > 0.0
+    ok &= nonpar & (valid[None, :] > 0.0)
     tm = jnp.where(ok, t, _F32MAX)
     # Reference tie-break is "last triangle wins" (`>=` update,
     # `raytracer.cpp:243`): argmin on the reversed axis.
@@ -185,6 +190,8 @@ def hit_positions(start: jax.Array, dirs: jax.Array, hits: Hits) -> jax.Array:
 
 def hit_distances(dirs: jax.Array, hits: Hits) -> jax.Array:
     """Euclidean hit distances ``t * |d|`` (`raytracer.cpp:242` semantics);
-    F32MAX where no hit."""
+    F32MAX where no hit. The product is computed on a zeroed t so the
+    unselected branch stays finite (NaN-free reverse-mode)."""
     norm = jnp.linalg.norm(dirs, axis=-1)
-    return jnp.where(hits.hit, hits.t * norm, _F32MAX)
+    t = jnp.where(hits.hit, hits.t, 0.0)
+    return jnp.where(hits.hit, t * norm, _F32MAX)

@@ -35,6 +35,7 @@ def direct_light(
     scene: Scene,
     lights: Lights,
     cfg: RenderConfig,
+    occlusion_fn=None,
 ) -> jax.Array:
     """Direct-light irradiance term ("result2") per ray, before albedo.
 
@@ -46,6 +47,12 @@ def direct_light(
       parity: ``p * (direct * p + ambient)`` — albedo applied twice to the
               direct term (`raytracer.cpp:325-326` then `:584-588`).
       clean:  ``p * (direct + ambient)``.
+
+    occlusion_fn: optional override of the shadow test with signature
+      (light_position (3,), r_dir (R, 3), r (R,)) -> occluded (R,) bool.
+      Default traces the full scene; the model-sharded path supplies a
+      triangle-block tracer merged with a pmin collective
+      (raytpu.parallel.render).
     """
     samples = cfg.soft_shadow_samples
     normals = scene.normals()
@@ -74,10 +81,13 @@ def direct_light(
             D = B * lam[:, None]
 
             # Shadow ray from the light toward the surface (`:307-315`).
-            sh = intersect_scene(position, -r_dir, scene,
-                                 tri_chunk=cfg.tri_chunk)
-            # r_dir is unit length, so t is the Euclidean distance.
-            occluded = sh.hit & (sh.t < r * jnp.float32(0.99))
+            if occlusion_fn is None:
+                sh = intersect_scene(position, -r_dir, scene,
+                                     tri_chunk=cfg.tri_chunk)
+                # r_dir is unit length, so t is the Euclidean distance.
+                occluded = sh.hit & (sh.t < r * jnp.float32(0.99))
+            else:
+                occluded = occlusion_fn(position, r_dir, r)
             D = jnp.where(occluded[:, None], 0.0, D)
             light_sum = light_sum + D
 
@@ -88,6 +98,27 @@ def direct_light(
             result2 = result2 + mask_k * light_sum
 
     return result2
+
+
+def irradiance_no_shadow(world: jax.Array, n_dir: jax.Array,
+                         lights: Lights) -> jax.Array:
+    """Per-point direct irradiance with NO occlusion test — the rasteriser's
+    lighting model (`rasteriser.cpp:567-584`) and the per-hypothesis term of
+    the soft renderers. world: (..., 3); n_dir: (..., 3). Returns (..., 3).
+    """
+    result = jnp.zeros_like(world)
+    for k in range(lights.capacity):
+        delta = world - lights.position[k]
+        r2 = jnp.sum(delta * delta, axis=-1)
+        r = jnp.sqrt(r2)
+        A = 4.0 * jnp.pi * r2
+        light_color = lights.color[k] * lights.intensity[k]
+        r_dir = -delta / r[..., None]
+        lam = jnp.maximum(jnp.sum(r_dir * n_dir, axis=-1), 0.0)
+        result = result + lights.mask[k] * (
+            light_color / A[..., None]
+        ) * lam[..., None]
+    return result
 
 
 def composite(direct: jax.Array, albedo: jax.Array, hit: jax.Array,

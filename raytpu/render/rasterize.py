@@ -55,4 +55,18 @@ def rasterize_full(scene: Scene, camera: Camera, lights: Lights,
 def rasterize(scene: Scene, camera: Camera, lights: Lights,
               cfg: RenderConfig) -> jax.Array:
     """Render and return the (H, W, 3) float32 image."""
+    if cfg.mode == "soft":
+        from raytpu.render.soft import rasterize_soft
+
+        return jax.jit(rasterize_soft, static_argnames=("cfg",))(
+            scene, camera, lights, cfg
+        )
+    if cfg.mode == "clean":
+        # Float-precise hard rasterization (the soft path's hard limit);
+        # 'parity' keeps the reference's scanline truncation quirks.
+        from raytpu.render.soft import rasterize_exact
+
+        return jax.jit(rasterize_exact, static_argnames=("cfg",))(
+            scene, camera, lights, cfg
+        )
     return rasterize_full(scene, camera, lights, cfg).image

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from raytpu.core.types import Camera, Lights, RenderConfig, Scene
 from raytpu.ops.blur import dof_apply
 from raytpu.ops.intersect import (
+    hit_distances,
     hit_positions,
     intersect,
     tri_constants,
@@ -100,9 +101,7 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
         hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk)
-        dist = jnp.where(
-            hits.hit, hits.t * jnp.linalg.norm(dirs, axis=-1), _F32MAX
-        )
+        dist = hit_distances(dirs, hits)
 
         # Merge into the running record (`>=` update semantics, `:243`).
         upd = hits.hit & (dist <= rec_dist)
@@ -138,4 +137,10 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 def raytrace(scene: Scene, camera: Camera, lights: Lights,
              cfg: RenderConfig) -> jax.Array:
     """Render and return the (H, W, 3) float32 image."""
+    if cfg.mode == "soft":
+        from raytpu.render.soft import raytrace_soft
+
+        return jax.jit(raytrace_soft, static_argnames=("cfg",))(
+            scene, camera, lights, cfg
+        )
     return raytrace_full(scene, camera, lights, cfg).image

@@ -1,0 +1,311 @@
+"""Differentiable ('soft') render paths.
+
+The hard renderers already propagate gradients through every smooth
+quantity — the winning triangle's ray parameter t, hit positions, shading,
+light parameters, albedos (the argmin/argmax index is piecewise-constant,
+so interior gradients are exact). What they cannot provide is the
+*silhouette* gradient: moving a vertex so that a pixel's winner CHANGES is
+invisible to autodiff through a hard select. The soft paths replace the
+hard visibility decision with a smooth aggregation (soft-rasterizer-style)
+so that losses see occlusion boundaries:
+
+  raytrace_soft  — per-(ray, triangle) coverage sigmoid on the barycentric
+                   margin x softmin over depth; colors aggregated over
+                   triangle hypotheses.
+  rasterize_soft — screen-space signed-distance sigmoid coverage x softmax
+                   over zinv (background logit = 0, matching the reference's
+                   cleared-to-0 depth buffer, `rasteriser.cpp:188`);
+                   perspective-correct attributes; deferred clean shading.
+
+Both converge to the 'clean' hard images as the sharpness parameters grow
+(tests assert the hard limit). Temperatures live in RenderConfig
+(soft_edge_sharpness, soft_z_sharpness).
+
+These are jnp reference implementations; fused Pallas kernels with custom
+VJPs live in raytpu.kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.core.types import Camera, Lights, RenderConfig, Scene
+from raytpu.ops.shade import irradiance_no_shadow
+from raytpu.render.raytrace import camera_ray_dirs, pixel_grid
+
+_MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Soft raytracer
+# ---------------------------------------------------------------------------
+
+def _ray_tri_tuv(dirs: jax.Array, scene: Scene, start: jax.Array):
+    """Per-(ray, triangle) t, u, v via the matmul formulation
+    (see raytpu.ops.intersect). dirs (R, 3) -> each (R, T)."""
+    e1, e2 = scene.edges()
+    b = start[None, :] - scene.v0
+    n = jnp.cross(e1, e2)
+    m = jnp.stack([n, jnp.cross(e2, b), jnp.cross(b, e1)], axis=1)
+    k0 = jnp.sum(n * b, axis=-1)
+    T = m.shape[0]
+    prods = _MM(dirs, m.reshape(3 * T, 3).T).reshape(-1, T, 3)
+    denom = -prods[..., 0]
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    t = k0[None, :] / safe
+    u = prods[..., 1] / safe
+    v = prods[..., 2] / safe
+    return t, u, v
+
+
+def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
+                  cfg: RenderConfig) -> jax.Array:
+    """Differentiable raytrace; returns (H, W, 3).
+
+    Visibility: coverage = sigmoid(edge_sharpness * margin) with margin =
+    min(u, v, 1-u-v) (inside-positive barycentric margin); depth resolve =
+    softmin over t among covered triangles (logit = -z_sharpness * t +
+    log coverage); miss handled by a background hypothesis with logit
+    -z_sharpness * t_far.
+
+    Shadows: the clean shadow test relaxed to
+    sigmoid(shadow_sharpness * (0.99 r - d_occluder)) at the aggregated hit
+    position — one shadow pass per light, not per triangle hypothesis
+    (documented approximation; exact in the hard limit for unoccluded /
+    fully-occluded pixels).
+    """
+    xs, ys = pixel_grid(cfg)
+    dirs = camera_ray_dirs(xs, ys, camera, cfg)
+    t, u, v = _ray_tri_tuv(dirs, scene, camera.pos)
+
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    t_pos = jnp.where(t > 1e-6, t, jnp.inf)
+
+    # Depth logits; background at t_far. The coverage term uses
+    # log_sigmoid so the penalty grows without bound as a ray moves away
+    # from a triangle — a floored log(cov + eps) lets a nearby-but-missed
+    # plane outbid the true hit once z_sharpness * dt exceeds the floor.
+    t_far = jnp.float32(20.0)
+    logit = (
+        -cfg.soft_z_sharpness * jnp.minimum(t_pos, t_far)
+        + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * margin)
+        + jnp.log(scene.active[None, :] + 1e-20)
+    )
+    bg_logit = jnp.full(
+        (logit.shape[0], 1), -cfg.soft_z_sharpness * t_far
+    )
+    w = jax.nn.softmax(jnp.concatenate([logit, bg_logit], axis=1), axis=1)
+    w_tri = w[:, :-1]  # (R, T)
+
+    # Per-hypothesis shading (no shadow): pos_rt = start + t * d.
+    pos = camera.pos[None, None, :] + jnp.where(
+        jnp.isfinite(t_pos), t_pos, 0.0
+    )[..., None] * dirs[:, None, :]
+    normals = scene.normals()  # (T, 3)
+    irr = irradiance_no_shadow(pos, normals[None, :, :], lights)  # (R, T, 3)
+    shade = scene.color[None, :, :] * (irr + jnp.float32(cfg.ambient))
+
+    img = jnp.sum(w_tri[..., None] * shade, axis=1)  # background is black
+
+    # Soft shadow factor at the aggregated position.
+    agg_pos = jnp.sum(w_tri[..., None] * pos, axis=1)
+    shadow = _soft_shadow_factor(agg_pos, scene, lights, cfg)
+    # Blend: direct part scaled by shadow, ambient part kept.
+    amb = jnp.sum(
+        w_tri[..., None] * (scene.color[None, :, :] * cfg.ambient), axis=1
+    )
+    img = (img - amb) * shadow[..., None] + amb
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
+                        cfg: RenderConfig) -> jax.Array:
+    """Smooth visibility toward each active light, averaged by light mask.
+
+    Relaxation of `raytracer.cpp:307-315`: occluded when an intersection
+    from the light toward the point is closer than 0.99 r.
+    """
+    total = jnp.zeros(world.shape[0])
+    denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
+    for k in range(lights.capacity):
+        delta = world - lights.position[k]
+        r = jnp.linalg.norm(delta, axis=-1)
+        d_hat = delta / r[..., None]
+        t, u, v = _ray_tri_tuv(d_hat, scene, lights.position[k])
+        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        cov = jax.nn.sigmoid(cfg.soft_edge_sharpness * margin)
+        cov = cov * scene.active[None, :]
+        t_occ = jnp.where(t > 1e-6, t, jnp.inf)
+        # Smooth "does any occluder sit closer than 0.99 r": per-triangle
+        # occlusion prob, combined as product of transmittances.
+        occ = cov * jax.nn.sigmoid(
+            cfg.soft_z_sharpness * (0.99 * r[:, None] - t_occ)
+        )
+        trans = jnp.prod(1.0 - occ + 1e-20, axis=1)
+        total = total + lights.mask[k] * trans
+    return total / denom
+
+
+# ---------------------------------------------------------------------------
+# Soft rasterizer
+# ---------------------------------------------------------------------------
+
+def _screen_vertices(scene: Scene, camera: Camera, cfg: RenderConfig):
+    """Float screen coords (no truncation) + zinv + pos3d per vertex."""
+    rot = camera.rotation()
+    verts = jnp.stack([scene.v0, scene.v1, scene.v2], axis=1)
+    pos = _MM(verts - camera.pos, rot)
+    z = pos[..., 2]
+    zinv = 1.0 / z
+    sx = camera.focal * pos[..., 0] * zinv + cfg.width / 2.0
+    sy = camera.focal * pos[..., 1] * zinv + cfg.height / 2.0
+    pos3d = pos * zinv[..., None]
+    return sx, sy, zinv, pos3d
+
+
+def _raster_fields(scene: Scene, camera: Camera, cfg: RenderConfig):
+    """Shared per-(pixel, triangle) fields for the exact/soft rasterizers:
+    signed distance (px, inside-positive), interpolated zinv, pos3d."""
+    H, W = cfg.height, cfg.width
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32) , jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    p = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (R, 2)
+
+    ax, ay = sx[:, 0], sy[:, 0]
+    bx, by = sx[:, 1], sy[:, 1]
+    cx, cy = sx[:, 2], sy[:, 2]
+
+    # Twice-signed-area; orientation normalizes inside to positive.
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)  # (T,)
+    orient = jnp.sign(jnp.where(jnp.abs(area) > 1e-12, area, 1e-12))
+
+    def edge_vals(x0, y0, x1, y1):
+        # E(p) = (x1-x0)(py-y0) - (y1-y0)(px-x0): (R, T)
+        ex = x1 - x0
+        ey = y1 - y0
+        val = ex[None, :] * (p[:, 1:2] - y0[None, :]) - ey[None, :] * (
+            p[:, 0:1] - x0[None, :]
+        )
+        norm = jnp.sqrt(ex * ex + ey * ey) + 1e-12
+        return val * orient[None, :] / norm[None, :]
+
+    d0 = edge_vals(ax, ay, bx, by)
+    d1 = edge_vals(bx, by, cx, cy)
+    d2 = edge_vals(cx, cy, ax, ay)
+    sdist = jnp.minimum(jnp.minimum(d0, d1), d2)  # pixels, inside-positive
+
+
+    # Screen-space barycentrics (normalized sub-areas).
+    area_safe = jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    l0 = (
+        (bx[None, :] - p[:, 0:1]) * (cy[None, :] - p[:, 1:2])
+        - (by[None, :] - p[:, 1:2]) * (cx[None, :] - p[:, 0:1])
+    ) / area_safe[None, :]
+    l1 = (
+        (cx[None, :] - p[:, 0:1]) * (ay[None, :] - p[:, 1:2])
+        - (cy[None, :] - p[:, 1:2]) * (ax[None, :] - p[:, 0:1])
+    ) / area_safe[None, :]
+    l2 = 1.0 - l0 - l1
+
+    # Outside a triangle raw barycentrics EXTRAPOLATE, which lets a
+    # nearby triangle's extrapolated depth hijack the softmax (and shades
+    # at a nonexistent surface point). Clamp barycentrics to the simplex —
+    # outside pixels take the attributes of (approximately) their nearest
+    # in-triangle point; exact for inside pixels.
+    l0c = jnp.clip(l0, 0.0, 1.0)
+    l1c = jnp.clip(l1, 0.0, 1.0)
+    l2c = jnp.clip(l2, 0.0, 1.0)
+    lsum = l0c + l1c + l2c + 1e-12
+    l0c, l1c, l2c = l0c / lsum, l1c / lsum, l2c / lsum
+
+    zpx = (
+        l0c * zinv[None, :, 0]
+        + l1c * zinv[None, :, 1]
+        + l2c * zinv[None, :, 2]
+    )  # (R, T)
+    ppx = (
+        l0c[..., None] * pos3d[None, :, 0, :]
+        + l1c[..., None] * pos3d[None, :, 1, :]
+        + l2c[..., None] * pos3d[None, :, 2, :]
+    )  # (R, T, 3)
+
+    return sdist, zpx, ppx
+
+
+def _shade_hypotheses(ppx, zpx, scene: Scene, camera: Camera,
+                      lights: Lights, cfg: RenderConfig) -> jax.Array:
+    """Clean PixelShader per (pixel, triangle) hypothesis
+    (`rasteriser.cpp:549-589`, no shadow). Returns (R, T, 3)."""
+    from raytpu.ops.raster import glm_inverse3
+
+    inv_rot = glm_inverse3(camera.rotation())
+    zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
+    world = _MM((ppx / zsafe[..., None]), inv_rot) + camera.pos
+    normals = scene.normals()
+    irr = irradiance_no_shadow(world, normals[None, :, :], lights)
+    return scene.color[None, :, :] * (irr + jnp.float32(cfg.ambient))
+
+
+def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
+                   cfg: RenderConfig) -> jax.Array:
+    """Differentiable rasterize; returns (H, W, 3).
+
+    Soft z-buffer: per-pixel softmax over triangle logits
+    ``z_sharpness * zinv + log_sigmoid(edge_sharpness * sdist)`` with a
+    background logit at zinv = 0 — exactly the reference's cleared depth
+    buffer in the hard limit (`rasteriser.cpp:188,606`). Attributes
+    interpolate with simplex-clamped screen-space barycentrics (zinv and
+    pos3d = pos/z are affine in screen space — the standard
+    perspective-correct scheme, same as `rasteriser.cpp:538-541`).
+    """
+    H, W = cfg.height, cfg.width
+    sdist, zpx, ppx = _raster_fields(scene, camera, cfg)
+    keep = scene.active
+
+    logit = (
+        cfg.soft_z_sharpness * zpx
+        + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * sdist)
+        + jnp.log(keep[None, :] + 1e-20)
+    )
+    bg = jnp.zeros((logit.shape[0], 1))  # zinv = 0 background
+    w = jax.nn.softmax(jnp.concatenate([logit, bg], axis=1), axis=1)
+    w_tri = w[:, :-1]
+
+    shade = _shade_hypotheses(ppx, zpx, scene, camera, lights, cfg)
+    img = jnp.sum(w_tri[..., None] * shade, axis=1)
+    return img.reshape(H, W, 3)
+
+
+def rasterize_exact(scene: Scene, camera: Camera, lights: Lights,
+                    cfg: RenderConfig) -> jax.Array:
+    """Float-precise HARD rasterizer — the limit of rasterize_soft.
+
+    Same geometry fields as the soft path, but a hard select: a pixel is
+    covered when its signed distance >= 0, and the max-zinv covered
+    triangle wins (background when none; zinv > 0 required, matching the
+    cleared depth buffer). This is 'clean'-mode rasterization: the
+    reference's scanline truncation quirks (kept in mode='parity') are
+    dropped in favor of exact coverage.
+    """
+    H, W = cfg.height, cfg.width
+    sdist, zpx, ppx = _raster_fields(scene, camera, cfg)
+    keep = scene.active
+
+    covered = (sdist >= 0.0) & (keep[None, :] > 0.0) & (zpx > 0.0)
+    z_masked = jnp.where(covered, zpx, -jnp.inf)
+    winner = jnp.argmax(z_masked, axis=1)  # (R,)
+    hit = jnp.take_along_axis(z_masked, winner[:, None], axis=1)[:, 0] > 0.0
+
+    shade = _shade_hypotheses(ppx, zpx, scene, camera, lights, cfg)
+    img = jnp.take_along_axis(
+        shade, winner[:, None, None].repeat(3, axis=2), axis=1
+    )[:, 0, :]
+    img = jnp.where(hit[:, None], img, 0.0)
+    return img.reshape(H, W, 3)

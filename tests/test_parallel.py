@@ -1,0 +1,117 @@
+"""Sharded rendering/training on a virtual 8-device CPU mesh.
+
+conftest forces JAX_PLATFORMS=cpu with
+--xla_force_host_platform_device_count=8 (SURVEY.md §4 item 4), so these
+tests exercise the real mesh/collective code paths without TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from raytpu.core.cornell import cornell_box
+from raytpu.core.types import Camera, Lights, RenderConfig
+from raytpu.parallel.mesh import make_mesh, row_sharding
+from raytpu.parallel.render import (
+    TrainState,
+    make_sharded_render,
+    make_sharded_train_step,
+)
+from raytpu.render.raytrace import raytrace_full
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(size=32):
+    scene = cornell_box(pad_to=32)
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=size, height=size, mode="clean")
+    return scene, cam, lights, cfg
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_render_matches_unsharded(shape):
+    """Determinism across mesh shapes (SURVEY.md §5: same seed/params =>
+    identical image whatever the mesh) — and equality with single-device."""
+    data, model = shape
+    scene, cam, lights, cfg = _setup()
+    mesh = make_mesh(data=data, model=model)
+    img = np.asarray(make_sharded_render(mesh, cfg)(scene, cam, lights))
+    ref = np.asarray(raytrace_full(scene, cam, lights, cfg).image)
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_sharded_gradients_match_unsharded():
+    scene, cam, lights, cfg = _setup()
+    mesh = make_mesh(data=4, model=2)
+    opt = optax.sgd(1e-2)
+    _, loss_fn = make_sharded_train_step(mesh, cfg, opt)
+    target = raytrace_full(scene, cam, lights, cfg).image
+    lights_off = Lights.single(capacity=1, intensity=10.0)
+
+    g_sh = jax.grad(lambda p: loss_fn(p, cam, target))((scene, lights_off))
+
+    def unsharded_loss(p):
+        s, l = p
+        img = raytrace_full(s, cam, l, cfg).image
+        return jnp.mean((img - target) ** 2)
+
+    g_un = jax.grad(unsharded_loss)((scene, lights_off))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_un)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_sharded_training_converges():
+    """Light-parameter fit through the sharded step drives the loss down
+    by >5x (scene frozen — hard-visibility vertex steps are the soft
+    path's job)."""
+    scene, cam, lights, cfg = _setup()
+    mesh = make_mesh(data=4, model=2)
+    opt = optax.multi_transform(
+        {"lights": optax.adam(0.1), "frozen": optax.set_to_zero()},
+        ("frozen", "lights"),
+    )
+    train_step, loss_fn = make_sharded_train_step(mesh, cfg, opt)
+    target = raytrace_full(scene, cam, lights, cfg).image
+    target = jax.device_put(target, row_sharding(mesh))
+    lights_off = Lights.single(capacity=1, intensity=10.0)
+    state = TrainState(
+        scene=scene, lights=lights_off,
+        opt_state=opt.init((scene, lights_off)),
+    )
+    l0 = float(loss_fn((state.scene, state.lights), cam, target))
+    for _ in range(40):
+        state, loss = train_step(state, cam, target)
+    assert float(loss) < l0 / 5, f"{l0} -> {float(loss)}"
+
+
+def test_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", "/root/repo/__graft_entry__.py"
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args).compile()
