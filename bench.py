@@ -1,0 +1,110 @@
+"""raytpu headline benchmark (driver-run).
+
+Metric (BASELINE.json): Mrays/s/chip forward+backward at 512x512 Cornell
+box. One frame = 512^2 primary rays + 512^2 shadow rays (one light, hard
+shadows); a fwd+bwd step is value_and_grad of an image MSE wrt scene +
+light parameters, so every ray is traced in the forward AND differentiated
+in the backward.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the fastest CPU re-implementation we have of the same math —
+the vectorized numpy oracle (raytpu.oracle.raytracer_oracle), forward-only,
+measured at 128x128 on this host and scaled linearly in ray count to
+512x512. This is GENEROUS to the baseline: numpy is vectorized where the
+reference C++ loops per pixel, and backward would at least double its cost.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu(size=512, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.render.raytrace import raytrace_full
+
+    scene = cornell_box(pad_to=32)
+    camera = Camera.raytracer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=size, height=size, mode="clean")
+
+    target = raytrace_full(scene, camera, lights, cfg).image
+    target = jax.block_until_ready(target)
+
+    def loss_fn(scene_, lights_):
+        img = raytrace_full(scene_, camera, lights_, cfg).image
+        return jnp.mean((img - target) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+
+    t0 = time.time()
+    out = jax.block_until_ready(step(scene, lights))
+    compile_s = time.time() - t0
+    log(f"[bench] fwd+bwd compile: {compile_s:.1f}s on {jax.devices()[0]}")
+
+    # Steady state.
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(scene, lights)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    rays_per_frame = 2 * size * size  # primary + shadow
+    mrays = rays_per_frame / dt / 1e6
+    log(f"[bench] fwd+bwd: {dt*1e3:.2f} ms/frame -> {mrays:.1f} Mrays/s")
+
+    # Forward-only for reference.
+    fwd = jax.jit(lambda s, l: raytrace_full(s, camera, l, cfg).image)
+    jax.block_until_ready(fwd(scene, lights))
+    t0 = time.time()
+    for _ in range(iters):
+        img = fwd(scene, lights)
+    jax.block_until_ready(img)
+    fwd_dt = (time.time() - t0) / iters
+    log(f"[bench] fwd-only: {fwd_dt*1e3:.2f} ms/frame -> "
+        f"{rays_per_frame/fwd_dt/1e6:.1f} Mrays/s")
+    return mrays, dt, fwd_dt
+
+
+def bench_cpu_oracle(size=128):
+    """Numpy-oracle forward at `size`, scaled to 512^2 ray count."""
+    from raytpu.core.cornell import cornell_box_numpy
+    from raytpu.oracle import raytracer_oracle as oracle
+
+    arrays = cornell_box_numpy()
+    t0 = time.time()
+    oracle.render(arrays, width=size, height=size)
+    dt = time.time() - t0
+    rays = 2 * size * size
+    mrays = rays / dt / 1e6
+    log(f"[bench] numpy oracle fwd @ {size}^2: {dt*1e3:.0f} ms "
+        f"-> {mrays:.2f} Mrays/s (fwd only)")
+    return mrays
+
+
+def main():
+    mrays, dt, fwd_dt = bench_tpu()
+    baseline_mrays = bench_cpu_oracle()
+    result = {
+        "metric": "Mrays/s/chip fwd+bwd 512x512 Cornell (primary+shadow)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline_mrays, 2),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Inverse-rendering fit (BASELINE config 4) and the CLI surface."""
+
+import numpy as np
+import pytest
+
+from raytpu.core.cornell import cornell_box
+from raytpu.core.image import read_bmp
+from raytpu.core.types import Camera, Lights, RenderConfig
+from raytpu.opt.fit import FitConfig, fit, load_checkpoint, save_checkpoint
+from raytpu.render.soft import rasterize_soft
+
+SIZE = 40
+
+
+def _target_and_cfg():
+    scene = cornell_box()
+    cam = Camera.make((0.0, 0.0, -3.0), focal=float(SIZE), y_scale=1.01)
+    li = Lights.single(capacity=1)
+    cfg = RenderConfig(width=SIZE, height=SIZE, mode="soft",
+                       soft_edge_sharpness=40.0, soft_z_sharpness=200.0)
+    target = np.asarray(rasterize_soft(scene, cam, li, cfg))
+    return scene, cam, target
+
+
+def test_fit_recovers_light():
+    scene, cam, target = _target_and_cfg()
+    li0 = Lights.single(capacity=1, intensity=8.0,
+                        position=(0.2, -0.3, -0.5))
+    res = fit(
+        target, scene, cam, li0,
+        RenderConfig(width=SIZE, height=SIZE, mode="soft"),
+        FitConfig(steps=100, log_every=0),
+    )
+    assert res.losses[-1] < res.losses[0] * 0.2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    scene = cornell_box()
+    lights = Lights.single(capacity=1)
+    params = (scene, lights)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, opt_state, 42)
+    p2, o2, step = load_checkpoint(path, params, opt_state)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(p2[0].v0),
+                                  np.asarray(scene.v0))
+
+    # Shape-mismatch templates must be rejected.
+    bad = (cornell_box(pad_to=64), lights)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, bad, opt.init(bad))
+
+
+def test_cli_render_commands(tmp_path):
+    from raytpu.cli.main import main
+
+    out = str(tmp_path / "r.bmp")
+    main(["render", "-o", out, "--width", "32", "--height", "32"])
+    img = read_bmp(out)
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0
+
+    out2 = str(tmp_path / "z.bmp")
+    main(["rasterize", "-o", out2, "--width", "32", "--height", "32",
+          "--mode", "clean", "--no-frustum-cull"])
+    assert read_bmp(out2).max() > 0
+
+    out3 = str(tmp_path / "s.bmp")
+    main(["starfield", "-o", out3, "--width", "32", "--height", "32"])
+    assert read_bmp(out3).shape == (32, 32, 3)
+
+
+def test_cli_multi_light_and_features(tmp_path):
+    from raytpu.cli.main import main
+
+    out = str(tmp_path / "m.bmp")
+    main(["render", "-o", out, "--width", "24", "--height", "24",
+          "--add-light", "0.4", "-0.4", "0.0", "1.0", "0.5", "0.5", "6.0",
+          "--aa", "2", "--dof"])
+    img = read_bmp(out)
+    assert img.max() > 0
