@@ -52,15 +52,26 @@ def parse_ascii_stl(text: str) -> np.ndarray:
 
 
 def load_stl(path: str, scale: float = DEFAULT_SCALE,
-             color=DEFAULT_COLOR, pad_to: int | None = None) -> Scene:
+             color=DEFAULT_COLOR, pad_to: int | None = None,
+             use_native: bool | None = None) -> Scene:
     """Load an ASCII STL file as a :class:`Scene`.
 
     Applies the reference transform ``v *= -scale`` on every axis
     (`LoadSTL.cpp:64-77`). Raises on missing/invalid files — the reference
     had no error handling at all (SURVEY.md §5).
+
+    use_native: None = auto (C++ parser from raytpu.native when the shared
+    library is buildable, python otherwise).
     """
-    with open(path, "r", errors="replace") as f:
-        tris = parse_ascii_stl(f.read())
+    from raytpu import native
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        tris = native.parse_stl(path)
+    else:
+        with open(path, "r", errors="replace") as f:
+            tris = parse_ascii_stl(f.read())
     tris = tris * np.float32(-scale)
     T = tris.shape[0]
     colors = np.broadcast_to(

@@ -329,10 +329,18 @@ class RenderConfig:
     raster_tri_chunk: int = 64
     soft_edge_sharpness: float = 100.0
     soft_z_sharpness: float = 100.0
-    use_pallas: bool = False
+    # None = auto: fused Pallas kernels on TPU, jnp elsewhere (Pallas runs
+    # interpreted off-TPU — correct but slow, so tests opt in explicitly).
+    use_pallas: bool | None = None
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is None:
+            return jax.default_backend() == "tpu"
+        return self.use_pallas
 
 
 def as_f32(x) -> np.ndarray:

@@ -117,7 +117,7 @@ def _chunk_hits(dirs: jax.Array, m: jax.Array, k0: jax.Array,
 
 
 def intersect(dirs: jax.Array, consts: TriConstants,
-              tri_chunk: int = 512) -> Hits:
+              tri_chunk: int = 512, use_pallas: bool = False) -> Hits:
     """Closest intersection of R rays against all triangles.
 
     Streams triangles in chunks of ``tri_chunk`` via `lax.scan`, carrying a
@@ -125,6 +125,11 @@ def intersect(dirs: jax.Array, consts: TriConstants,
     size (the 9k-triangle STL path needs this; the 32-triangle Cornell box
     takes the single-chunk fast path).
     """
+    if use_pallas:
+        from raytpu.kernels.intersect_pallas import intersect_pallas
+
+        return intersect_pallas(dirs, consts, tri_chunk=tri_chunk)
+
     T = consts.m.shape[0]
     R = dirs.shape[0]
 
@@ -173,9 +178,33 @@ def intersect(dirs: jax.Array, consts: TriConstants,
 
 
 def intersect_scene(start: jax.Array, dirs: jax.Array, scene: Scene,
-                    tri_chunk: int = 512) -> Hits:
+                    tri_chunk: int = 512, use_pallas: bool = False) -> Hits:
     """Convenience wrapper: constants + intersect in one call."""
-    return intersect(dirs, tri_constants(scene, start), tri_chunk=tri_chunk)
+    return intersect(dirs, tri_constants(scene, start),
+                     tri_chunk=tri_chunk, use_pallas=use_pallas)
+
+
+def one_hot_idx(idx: jax.Array, T: int) -> jax.Array:
+    """(R,) indices -> (R, T) f32 one-hot (clamped; callers mask misses).
+
+    On TPU, gathers/scatters over a small table serialize badly in the
+    backward pass; expressing gather as one_hot @ table turns both
+    directions into MXU matmuls. Use only for small T (memory is R*T).
+    """
+    safe = jnp.maximum(idx, 0)
+    return (safe[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32
+    )
+
+
+def gather_rows(oh: jax.Array, table: jax.Array) -> jax.Array:
+    """one_hot (R, T) @ table (T, C) -> (R, C) with matmul-fast backward."""
+    return jax.lax.dot_general(
+        oh, table,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def hit_positions(start: jax.Array, dirs: jax.Array, hits: Hits) -> jax.Array:

@@ -36,6 +36,7 @@ def direct_light(
     lights: Lights,
     cfg: RenderConfig,
     occlusion_fn=None,
+    n_dir: jax.Array | None = None,
 ) -> jax.Array:
     """Direct-light irradiance term ("result2") per ray, before albedo.
 
@@ -55,8 +56,10 @@ def direct_light(
       (raytpu.parallel.render).
     """
     samples = cfg.soft_shadow_samples
-    normals = scene.normals()
-    n_dir = normals[hit_idx]  # glm::normalize(triangle.normal) (`:300`)
+    if n_dir is None:
+        # glm::normalize(triangle.normal) (`:300`); callers on the hot path
+        # pass a one-hot-matmul gather instead (scatter-free backward).
+        n_dir = scene.normals()[hit_idx]
 
     result = jnp.zeros_like(hit_pos)  # parity: never reset across lights
     result2 = jnp.zeros_like(hit_pos)
@@ -83,7 +86,8 @@ def direct_light(
             # Shadow ray from the light toward the surface (`:307-315`).
             if occlusion_fn is None:
                 sh = intersect_scene(position, -r_dir, scene,
-                                     tri_chunk=cfg.tri_chunk)
+                                     tri_chunk=cfg.tri_chunk,
+                                     use_pallas=cfg.pallas_enabled)
                 # r_dir is unit length, so t is the Euclidean distance.
                 occluded = sh.hit & (sh.t < r * jnp.float32(0.99))
             else:

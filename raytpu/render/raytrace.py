@@ -25,9 +25,11 @@ import jax.numpy as jnp
 from raytpu.core.types import Camera, Lights, RenderConfig, Scene
 from raytpu.ops.blur import dof_apply
 from raytpu.ops.intersect import (
+    gather_rows,
     hit_distances,
     hit_positions,
     intersect,
+    one_hot_idx,
     tri_constants,
 )
 from raytpu.ops.shade import composite, direct_light
@@ -100,7 +102,8 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
-        hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk)
+        hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk,
+                         use_pallas=cfg.pallas_enabled)
         dist = hit_distances(dirs, hits)
 
         # Merge into the running record (`>=` update semantics, `:243`).
@@ -119,8 +122,16 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
             pos = hit_positions(camera.pos, dirs, hits)
             shade_idx = jnp.maximum(hits.idx, 0)
 
-        direct = direct_light(pos, shade_idx, scene, lights, cfg)
-        albedo = scene.color[shade_idx]
+        T = scene.num_triangles
+        if T <= 1024:
+            oh = one_hot_idx(shade_idx, T)
+            n_dir = gather_rows(oh, scene.normals())
+            albedo = gather_rows(oh, scene.color)
+        else:
+            n_dir = None
+            albedo = scene.color[shade_idx]
+        direct = direct_light(pos, shade_idx, scene, lights, cfg,
+                              n_dir=n_dir)
         color = composite(direct, albedo, hits.hit, cfg)
         # Reference adds a sample only when the sub-ray itself hit
         # (`raytracer.cpp:580-591`).
