@@ -5,22 +5,31 @@ several (R, T) intermediates in HBM — at 512^2 x 32 triangles that is
 ~600 MB of traffic per pass and the measured bottleneck (bench.py). This
 kernel keeps everything on-chip:
 
-  grid over ray tiles; per tile:
-    VMEM <- dirs tile (3, TILE_R)           [lane axis = rays]
-    VMEM <- all triangle constants (3T, 3)  [tiny: 9k tris = 340 KB]
-    loop triangle chunks (C, .):
-      prods = M_chunk (3C, 3) @ dirs (3, TILE_R)   -> MXU
-      t,u,v tests + masked min-reduce over the chunk -> VPU
-      carry running (best_t, best_idx)
-    HBM <- (1, TILE_R) best_t, best_idx
+  grid (ray_tile, tri_chunk), chunk axis fastest; per step:
+    pipeline <- dirs tile (3, TILE_R) + chunk constants (4C, 3)
+    prods = rows (C, 3) @ dirs (3, TILE_R)        -> MXU
+    t,u,v tests + masked min-reduce               -> VPU
+    VMEM scratch carries (best_t, best_idx) across chunk steps;
+    outputs written on the last chunk step.
 
-HBM traffic drops to O(R) in+out. The closest-hit reduction reproduces the
-reference semantics: Euclidean-equivalent t ordering with LAST-triangle
-tie-break (`raytracer.cpp:243`).
+Layout notes (hard-won):
+  * Triangle constants must NOT be VMEM-resident as one (3T, 3) array —
+    the 3-wide minor dim pads to 128 lanes, so 9k triangles need >20 MB
+    (scoped-vmem OOM). Streaming one (4C, 3) chunk block per grid step
+    keeps the padded footprint at ~256 KB.
+  * The streaming must go through the grid pipeline, not manual DMA: HBM
+    slices of a minor-dim-3 array violate the (1,128) tile alignment.
+  * Lane-major constant layouts that avoid padding entirely need a
+    contract-dim-0 matmul or a (1,C)->(C,1) transpose — both send the
+    Mosaic compiler into multi-minute hangs.
+
+HBM traffic drops to O(R + T) in+out. The closest-hit reduction reproduces
+the reference semantics: Euclidean-equivalent t ordering with
+LAST-triangle tie-break (`raytracer.cpp:243`).
 
 The op carries a custom VJP: t* = k0_i / (-d . n_i) for the winning
-triangle i, so the backward is a cheap per-ray gather + scatter-add — no
-(R, T) replay (see raytpu guide: Patterns: Custom VJP).
+triangle i, so the backward is a cheap per-ray gather + one-hot matmul —
+no (R, T) replay.
 """
 
 from __future__ import annotations
@@ -39,117 +48,138 @@ from raytpu.ops.intersect import Hits, TriConstants
 _F32MAX = 3.4028235e38
 
 
-def _kernel(dirs_ref, m_ref, k0_ref, valid_ref, t_ref, idx_ref, *,
-            tri_chunk: int, n_tris: int):
-    """One ray tile vs all triangles.
+def _kernel(dirs_ref, m_ref, t_ref, idx_ref, best_t_ref, best_idx_ref, *,
+            tri_chunk: int):
+    """One (ray tile, triangle chunk) grid step.
 
-    dirs_ref:  (3, TILE_R) VMEM
-    m_ref:     (3T, 3) VMEM — rows [n_0..n_T | c2_0..c2_T | c3_0..c3_T]
-    k0_ref:    (T, 1) VMEM
-    valid_ref: (T, 1) VMEM
-    t_ref:     (1, TILE_R) out
-    idx_ref:   (1, TILE_R) out (int32)
+    dirs_ref: (3, TILE_R) VMEM — same block for every chunk step.
+    m_ref:    (4C, 3) VMEM — this chunk's rows
+              [n_0..n_C | c2_0..c2_C | c3_0..c3_C | (k0, 0, 0)_0..C];
+              invalid triangles have zeroed constants (denominator 0
+              excludes them, matching the reference's inf/NaN compares).
+    t_ref, idx_ref: (1, TILE_R) outputs (written on the last chunk step).
+    best_t_ref, best_idx_ref: (1, TILE_R) VMEM scratch carried across
+              chunk steps of one ray tile.
     """
-    tile_r = dirs_ref.shape[1]
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    C = tri_chunk
     dirs = dirs_ref[:, :]  # (3, TILE_R)
-    n_chunks = n_tris // tri_chunk
 
-    def body(c, carry):
-        best_t, best_idx = carry
-        base = c * tri_chunk
-        # Gather this chunk's constant rows for each of the 3 planes.
-        n_rows = m_ref[pl.ds(base, tri_chunk), :]               # (C, 3)
-        c2_rows = m_ref[pl.ds(n_tris + base, tri_chunk), :]     # (C, 3)
-        c3_rows = m_ref[pl.ds(2 * n_tris + base, tri_chunk), :]  # (C, 3)
-        k0 = k0_ref[pl.ds(base, tri_chunk), :]                  # (C, 1)
-        valid = valid_ref[pl.ds(base, tri_chunk), :]            # (C, 1)
+    @pl.when(c == 0)
+    def _():
+        best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
+        best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
 
-        dn = jnp.dot(n_rows, dirs, preferred_element_type=jnp.float32)
-        du = jnp.dot(c2_rows, dirs, preferred_element_type=jnp.float32)
-        dv = jnp.dot(c3_rows, dirs, preferred_element_type=jnp.float32)
+    n_rows = m_ref[0:C, :]
+    c2_rows = m_ref[C : 2 * C, :]
+    c3_rows = m_ref[2 * C : 3 * C, :]
+    k0 = m_ref[3 * C : 4 * C, 0:1]  # (C, 1)
 
-        denom = -dn
-        nonpar = denom != 0.0
-        denom_safe = jnp.where(nonpar, denom, 1.0)
-        t = k0 / denom_safe
-        u = du / denom_safe
-        v = dv / denom_safe
-        ok = (
-            (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0)
-            & nonpar & (valid > 0.0)
-        )
-        tm = jnp.where(ok, t, _F32MAX)  # (C, TILE_R)
+    # precision=HIGHEST: the MXU multiplies in bf16 by default, a ~4e-3
+    # relative error on the plane equations that flips closest-hit winners
+    # near silhouettes (observed as 1e-3-level t mismatches vs the XLA
+    # path). HIGHEST selects the multi-pass f32 emulation; with K=3 the
+    # matmul is nowhere near the bottleneck.
+    dn = jnp.dot(n_rows, dirs, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    du = jnp.dot(c2_rows, dirs, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    dv = jnp.dot(c3_rows, dirs, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
 
-        chunk_min = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, tm.shape, dimension=0
-        )
-        # Last triangle wins ties (`raytracer.cpp:243` >= update).
-        chunk_idx = jnp.max(
-            jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
-        ) + base
-
-        upd = chunk_min <= best_t  # later chunks win ties
-        return (
-            jnp.where(upd, chunk_min, best_t),
-            jnp.where(upd, chunk_idx, best_idx),
-        )
-
-    init = (
-        jnp.full((1, tile_r), _F32MAX, jnp.float32),
-        jnp.zeros((1, tile_r), jnp.int32),
+    denom = -dn
+    nonpar = denom != 0.0
+    denom_safe = jnp.where(nonpar, denom, 1.0)
+    t = k0 / denom_safe
+    u = du / denom_safe
+    v = dv / denom_safe
+    ok = (
+        (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0) & nonpar
     )
-    best_t, best_idx = jax.lax.fori_loop(0, n_chunks, body, init)
-    t_ref[:, :] = best_t
-    idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx, -1)
+    tm = jnp.where(ok, t, _F32MAX)  # (C, TILE_R)
+
+    chunk_min = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
+    rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+    # Last triangle wins ties (`raytracer.cpp:243` >= update).
+    chunk_idx = jnp.max(
+        jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
+    ) + c * C
+
+    best_t = best_t_ref[:, :]
+    upd = chunk_min <= best_t  # later chunks win ties
+    best_t = jnp.where(upd, chunk_min, best_t)
+    best_idx = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+    best_t_ref[:, :] = best_t
+    best_idx_ref[:, :] = best_idx
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx, -1)
 
 
 def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
                      valid: jax.Array, *, tile_r: int, tri_chunk: int):
     """dirs_t: (3, R). m: (T, 3, 3). Returns (t (R,), idx (R,))."""
-    T = m.shape[0]
     R = dirs_t.shape[1]
     if R % tile_r != 0:
         raise ValueError(f"ray count {R} not a multiple of {tile_r}")
-    # VMEM budget: the chunk loop keeps ~8 (C, TILE_R) f32 live; cap C so
-    # that stays under ~8 MB of the ~16 MB VMEM.
-    vmem_cap = max(8, (8 * 1024 * 1024) // (tile_r * 32))
-    chunk = min(tri_chunk, T, vmem_cap)
-    while T % chunk != 0:
-        chunk -= 1
-    if chunk < 1:
-        raise ValueError(f"no valid chunk size for T={T}")
+    # Chunk size: (C, TILE_R) temporaries dominate VMEM; C=128 keeps the
+    # working set ~a few MB at TILE_R=2048.
+    chunk = min(tri_chunk, 128)
+    T = ((m.shape[0] + chunk - 1) // chunk) * chunk
+    padn = T - m.shape[0]
+    if padn:
+        m = jnp.concatenate(
+            [m, jnp.zeros((padn, 3, 3), jnp.float32)], axis=0
+        )
+        k0 = jnp.concatenate([k0, jnp.zeros((padn,), jnp.float32)])
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((padn,), jnp.float32)]
+        )
+    n_chunks = T // chunk
 
-    # Row layout [n | c2 | c3] grouped by constant type.
-    m_rows = m.transpose(1, 0, 2).reshape(3 * T, 3)
+    # Chunk-blocked row layout: per chunk [n | c2 | c3 | k0-row] (4C, 3);
+    # invalid triangles zeroed (denominator 0 => never a hit).
+    m_masked = m * valid[:, None, None]
+    k0_masked = k0 * valid
+    mc = m_masked.reshape(n_chunks, chunk, 3, 3)
+    k0c = k0_masked.reshape(n_chunks, chunk)
+    k0_rows = jnp.stack(
+        [k0c, jnp.zeros_like(k0c), jnp.zeros_like(k0c)], axis=-1
+    )  # (n_chunks, C, 3)
+    blocked = jnp.concatenate(
+        [mc[:, :, 0, :], mc[:, :, 1, :], mc[:, :, 2, :], k0_rows], axis=1
+    ).reshape(n_chunks * 4 * chunk, 3)
 
-    grid = (R // tile_r,)
-    kernel = functools.partial(_kernel, tri_chunk=chunk, n_tris=T)
+    grid = (R // tile_r, n_chunks)  # chunk axis fastest
+    kernel = functools.partial(_kernel, tri_chunk=chunk)
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+            pl.BlockSpec((3, tile_r), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * T, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 1), lambda i: (0, 0),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, R), jnp.float32),
             jax.ShapeDtypeStruct((1, R), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+        ],
         interpret=_interpret_mode(),
-    )(dirs_t, m_rows, k0[:, None], valid[:, None])
+    )(dirs_t, blocked)
     return t[0], idx[0]
 
 
