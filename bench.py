@@ -27,9 +27,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu(size=512, iters=20):
+def bench_tpu(size=512, iters=20, use_pallas=None):
     import jax
     import jax.numpy as jnp
+
+    from raytpu.utils.cache import enable as enable_cache
+
+    enable_cache()
 
     from raytpu.core.cornell import cornell_box
     from raytpu.core.types import Camera, Lights, RenderConfig
@@ -38,10 +42,15 @@ def bench_tpu(size=512, iters=20):
     scene = cornell_box(pad_to=32)
     camera = Camera.raytracer_default()
     lights = Lights.single(capacity=1)
-    cfg = RenderConfig(width=size, height=size, mode="clean")
+    cfg = RenderConfig(width=size, height=size, mode="clean",
+                       use_pallas=use_pallas)
 
-    target = raytrace_full(scene, camera, lights, cfg).image
-    target = jax.block_until_ready(target)
+    # One jitted forward reused for the target render AND the fwd-only
+    # timing below — every distinct jit costs a full (remote) compile.
+    fwd = jax.jit(
+        lambda s, l: raytrace_full(s, camera, l, cfg).image
+    )
+    target = jax.block_until_ready(fwd(scene, lights))
 
     def loss_fn(scene_, lights_):
         img = raytrace_full(scene_, camera, lights_, cfg).image
@@ -65,9 +74,7 @@ def bench_tpu(size=512, iters=20):
     mrays = rays_per_frame / dt / 1e6
     log(f"[bench] fwd+bwd: {dt*1e3:.2f} ms/frame -> {mrays:.1f} Mrays/s")
 
-    # Forward-only for reference.
-    fwd = jax.jit(lambda s, l: raytrace_full(s, camera, l, cfg).image)
-    jax.block_until_ready(fwd(scene, lights))
+    # Forward-only for reference (same executable as the target render).
     t0 = time.time()
     for _ in range(iters):
         img = fwd(scene, lights)
@@ -94,16 +101,58 @@ def bench_cpu_oracle(size=128):
     return mrays
 
 
-def main():
-    mrays, dt, fwd_dt = bench_tpu()
-    baseline_mrays = bench_cpu_oracle()
-    result = {
-        "metric": "Mrays/s/chip fwd+bwd 512x512 Cornell (primary+shadow)",
+def _result_json(mrays, baseline_mrays, impl):
+    return json.dumps({
+        "metric": ("Mrays/s/chip fwd+bwd 512x512 Cornell "
+                   f"(primary+shadow, {impl})"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 2),
-    }
-    print(json.dumps(result), flush=True)
+    })
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", choices=["auto", "pallas", "xla"],
+                    default="auto")
+    ap.add_argument("--pallas-timeout", type=float, default=480.0,
+                    help="seconds to allow the Pallas-path child before "
+                         "falling back to the XLA path")
+    args = ap.parse_args()
+
+    if args.impl in ("pallas", "xla"):
+        mrays, _, _ = bench_tpu(use_pallas=(args.impl == "pallas"))
+        print(_result_json(mrays, bench_cpu_oracle(), args.impl),
+              flush=True)
+        return
+
+    # auto: the fused Pallas kernels are ~3x faster but their first
+    # (uncached) compile through this image's remote-compile tunnel has
+    # minutes-level variance — run them in a time-boxed child and fall
+    # back to the always-fast XLA path. Successful child runs populate
+    # the persistent compilation cache, making later runs quick.
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--impl", "pallas"],
+            capture_output=True, text=True, timeout=args.pallas_timeout,
+        )
+        if proc.returncode == 0:
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    log(proc.stderr[-2000:])
+                    return
+        log(f"[bench] pallas child failed rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-500:]}")
+    except subprocess.TimeoutExpired:
+        log("[bench] pallas child timed out; falling back to XLA path")
+
+    mrays, _, _ = bench_tpu(use_pallas=False)
+    print(_result_json(mrays, bench_cpu_oracle(), "xla"), flush=True)
 
 
 if __name__ == "__main__":

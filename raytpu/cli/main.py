@@ -193,6 +193,9 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from raytpu.utils.cache import enable as _enable_cache
+
+    _enable_cache()
     parser = argparse.ArgumentParser(
         prog="raytpu",
         description="TPU-native differentiable raytracer + rasterizer",

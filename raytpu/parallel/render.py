@@ -76,7 +76,7 @@ def _merged_intersect(start, dirs, block: Scene, base, cfg: RenderConfig,
     Returns (t, idx, hit) with t = ray parameter.
     """
     h = intersect(dirs, tri_constants(block, start),
-                  tri_chunk=cfg.tri_chunk)
+                  tri_chunk=cfg.tri_chunk, use_pallas=cfg.pallas_enabled)
     t_local = jnp.where(h.hit, h.t, _F32MAX)
     idx_local = jnp.where(h.hit, h.idx + base, -1)
     ts = jax.lax.all_gather(t_local, axis_name)      # (nm, R)
@@ -124,7 +124,8 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
 
     def occlusion_fn(light_pos, r_dir, r):
         sh = intersect(-r_dir, tri_constants(block, light_pos),
-                       tri_chunk=cfg.tri_chunk)
+                       tri_chunk=cfg.tri_chunk,
+                       use_pallas=cfg.pallas_enabled)
         d_local = jnp.where(sh.hit, sh.t, _F32MAX)
         # all_gather + local min rather than lax.pmin: pmin has no JAX
         # differentiation rule, and this sits inside the training step's

@@ -1,0 +1,80 @@
+"""Fused Pallas closest-hit kernel vs the jnp path (interpret mode on CPU).
+
+The TPU-compiled kernel is additionally validated bit-exact on hardware
+(0 index mismatches / 0 t-diff for Cornell and the 9k-triangle STL scene;
+see kernels/intersect_pallas.py and the benchmark logs).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.core.cornell import cornell_box
+from raytpu.core.types import Camera, Lights, RenderConfig, Scene
+from raytpu.ops.intersect import intersect, tri_constants
+from raytpu.render.raytrace import (
+    camera_ray_dirs,
+    pixel_grid,
+    raytrace_full,
+)
+
+
+def _dirs_and_consts(size=32, pad_to=None):
+    scene = cornell_box(pad_to=pad_to)
+    cam = Camera.raytracer_default()
+    cfg = RenderConfig(width=size, height=size)
+    xs, ys = pixel_grid(cfg)
+    dirs = camera_ray_dirs(xs, ys, cam, cfg)
+    return scene, cam, dirs, tri_constants(scene, cam.pos)
+
+
+def test_forward_matches_jnp():
+    _, _, dirs, consts = _dirs_and_consts()
+    h_j = intersect(dirs, consts)
+    h_p = intersect(dirs, consts, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(h_j.idx), np.asarray(h_p.idx))
+    np.testing.assert_array_equal(np.asarray(h_j.t), np.asarray(h_p.t))
+
+
+def test_forward_matches_jnp_padded_scene():
+    """Padded (inactive) triangles and non-tile-multiple chunking."""
+    _, _, dirs, consts = _dirs_and_consts(pad_to=200)  # not 128-aligned
+    h_j = intersect(dirs, consts)
+    h_p = intersect(dirs, consts, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(h_j.idx), np.asarray(h_p.idx))
+
+
+def test_vjp_matches_jnp():
+    scene, cam, _, _ = _dirs_and_consts()
+    lights = Lights.single(capacity=1)
+    w = jnp.asarray(
+        np.random.default_rng(0).normal(size=(32, 32, 3)), jnp.float32
+    )
+
+    def loss(v0, use_pallas):
+        s2 = dataclasses.replace(scene, v0=v0)
+        cfg = RenderConfig(width=32, height=32, mode="clean",
+                           use_pallas=use_pallas)
+        return jnp.sum(raytrace_full(s2, cam, lights, cfg).image * w)
+
+    g_j = jax.grad(lambda v: loss(v, False))(scene.v0)
+    g_p = jax.grad(lambda v: loss(v, True))(scene.v0)
+    np.testing.assert_allclose(
+        np.asarray(g_j), np.asarray(g_p), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_full_render_image_identical():
+    scene = cornell_box()
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=1)
+    img_j = raytrace_full(
+        scene, cam, lights, RenderConfig(width=32, height=32)
+    ).image
+    img_p = raytrace_full(
+        scene, cam, lights,
+        RenderConfig(width=32, height=32, use_pallas=True),
+    ).image
+    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
