@@ -45,6 +45,8 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     cfg = RenderConfig(width=size, height=size, mode="clean",
                        use_pallas=use_pallas)
 
+    import optax
+
     # One jitted forward reused for the target render AND the fwd-only
     # timing below — every distinct jit costs a full (remote) compile.
     fwd = jax.jit(
@@ -56,25 +58,48 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
         img = raytrace_full(scene_, camera, lights_, cfg).image
         return jnp.mean((img - target) ** 2)
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    vag = jax.value_and_grad(loss_fn, argnums=(0, 1))
 
+    # Chain `iters` REAL optimizer steps inside one executable (lax.scan):
+    # per-call measurement under-reports by ~25% host/dispatch overhead,
+    # while a scan whose body ignores its carry gets hoisted as
+    # loop-invariant and over-reports 4x. A chained optimizer (tiny lr so
+    # parameters stay put numerically) is both honest and dispatch-free.
+    opt = optax.sgd(1e-9)
+
+    @jax.jit
+    def train_chain(s, l, opt_state):
+        def body(carry, _):
+            s_, l_, os_ = carry
+            loss, grads = vag(s_, l_)
+            updates, os2 = opt.update(grads, os_, (s_, l_))
+            s2, l2 = optax.apply_updates((s_, l_), updates)
+            return (s2, l2, os2), loss
+        carry, losses = jax.lax.scan(
+            body, (s, l, opt_state), None, length=iters
+        )
+        return losses
+
+    opt_state = opt.init((scene, lights))
     t0 = time.time()
-    out = jax.block_until_ready(step(scene, lights))
+    out = jax.block_until_ready(train_chain(scene, lights, opt_state))
     compile_s = time.time() - t0
-    log(f"[bench] fwd+bwd compile: {compile_s:.1f}s on {jax.devices()[0]}")
+    log(f"[bench] fwd+bwd chain compile: {compile_s:.1f}s on "
+        f"{jax.devices()[0]}")
 
-    # Steady state.
     t0 = time.time()
-    for _ in range(iters):
-        out = step(scene, lights)
+    for _ in range(3):
+        out = train_chain(scene, lights, opt_state)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / 3 / iters
 
     rays_per_frame = 2 * size * size  # primary + shadow
     mrays = rays_per_frame / dt / 1e6
-    log(f"[bench] fwd+bwd: {dt*1e3:.2f} ms/frame -> {mrays:.1f} Mrays/s")
+    log(f"[bench] fwd+bwd train step: {dt*1e3:.2f} ms -> "
+        f"{mrays:.1f} Mrays/s")
 
     # Forward-only for reference (same executable as the target render).
+    jax.block_until_ready(fwd(scene, lights))
     t0 = time.time()
     for _ in range(iters):
         img = fwd(scene, lights)
