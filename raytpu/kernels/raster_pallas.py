@@ -1,0 +1,184 @@
+"""Fused tile-based rasterizer Pallas kernel (exact hard path).
+
+Accelerates rasterize_exact (raytpu.render.soft): the jnp path
+materializes (R, T) signed-distance/zinv fields in HBM. Here each pixel
+tile resolves its winning triangle on-chip:
+
+  grid (pixel_tile, tri_chunk), chunk fastest; per step:
+    pipeline <- pixel coords (2, TILE_P) + chunk plane constants (C, 16)
+    E_k(p) = A_k px + B_k py + C_k   (3 normalized edges)   -> VPU
+    sdist = min_k E_k;  covered = sdist >= 0
+    zpx   = Za px + Zb py + Zc      (zinv is affine in screen space)
+    masked argmax-zinv carry in VMEM scratch (first-wins ties =
+    the reference's strict > z-test, `rasteriser.cpp:606`)
+  outputs: winner index per pixel (int32; -1 = background).
+
+Only the winner INDEX leaves the kernel: attributes (zinv, pos3d) are
+recomputed outside for the winner alone, which keeps the op trivially
+differentiable (the index is piecewise-constant; everything smooth flows
+through the jnp recompute).
+
+Per-triangle constants are precomputed in jnp (screen verts -> normalized
+edge coefficients + zinv plane), stored chunk-blocked (C, 16) with the
+narrow minor dim confined to one pipelined block (see
+intersect_pallas.py's layout notes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -3.4028235e38
+
+
+def _kernel(px_ref, consts_ref, idx_ref, best_z_ref, best_idx_ref, *,
+            tri_chunk: int):
+    """One (pixel tile, triangle chunk) grid step.
+
+    px_ref:     (2, TILE_P) VMEM — pixel x, y (float).
+    consts_ref: (C, 16) VMEM — per triangle rows
+                [A0 B0 C0 A1 B1 C1 A2 B2 C2 Za Zb Zc valid 0 0 0].
+    idx_ref:    (1, TILE_P) int32 output (written on last chunk step).
+    best_z_ref, best_idx_ref: (1, TILE_P) VMEM scratch.
+    """
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    px = px_ref[0:1, :]  # (1, TILE_P)
+    py = px_ref[1:2, :]
+
+    @pl.when(c == 0)
+    def _():
+        best_z_ref[:, :] = jnp.full_like(best_z_ref[:, :], _NEG_INF)
+        best_idx_ref[:, :] = jnp.full_like(best_idx_ref[:, :], -1)
+
+    def col(j):
+        return consts_ref[:, j : j + 1]  # (C, 1)
+
+    e0 = col(0) * px + col(1) * py + col(2)  # (C, TILE_P)
+    e1 = col(3) * px + col(4) * py + col(5)
+    e2 = col(6) * px + col(7) * py + col(8)
+    sdist = jnp.minimum(jnp.minimum(e0, e1), e2)
+    zpx = col(9) * px + col(10) * py + col(11)
+    covered = (sdist >= 0.0) & (zpx > 0.0) & (col(12) > 0.0)
+    z = jnp.where(covered, zpx, _NEG_INF)
+
+    chunk_max = jnp.max(z, axis=0, keepdims=True)  # (1, TILE_P)
+    rows = jax.lax.broadcasted_iota(jnp.int32, z.shape, dimension=0)
+    # First triangle wins ties (strict > z-test, `rasteriser.cpp:606`).
+    big = jnp.int32(2147483647)
+    chunk_idx = jnp.min(
+        jnp.where(z == chunk_max, rows, big), axis=0, keepdims=True
+    ) + c * tri_chunk
+
+    best_z = best_z_ref[:, :]
+    upd = chunk_max > best_z  # strictly greater: earlier chunk keeps ties
+    best_z = jnp.where(upd, chunk_max, best_z)
+    best_idx = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+    best_z_ref[:, :] = best_z
+    best_idx_ref[:, :] = best_idx
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        idx_ref[:, :] = jnp.where(best_z > _NEG_INF, best_idx, -1)
+
+
+def raster_tri_constants(sx, sy, zinv, keep):
+    """Per-triangle plane constants for the kernel.
+
+    sx, sy, zinv: (T, 3) float screen verts + vertex 1/z. keep: (T,).
+    Returns (T, 16) float32 rows
+    [A0 B0 C0 A1 B1 C1 A2 B2 C2 Za Zb Zc valid pad pad pad], where the
+    edge coefficients are normalized (|(A,B)| = 1) and oriented
+    inside-positive, and (Za, Zb, Zc) is the screen-space affine zinv
+    plane (zinv is linear in screen coordinates).
+    """
+    ax, ay = sx[:, 0], sy[:, 0]
+    bx, by = sx[:, 1], sy[:, 1]
+    cx, cy = sx[:, 2], sy[:, 2]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    # px^2 threshold: near-degenerate screen triangles (edge-on faces)
+    # otherwise produce sdist ~ 0 bands along whole lines.
+    area_ok = jnp.abs(area) > 1e-4
+    area_safe = jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    orient = jnp.sign(area_safe)
+
+    def edge(x0, y0, x1, y1):
+        # E(p) = (x1-x0)(py-y0) - (y1-y0)(px-x0) =: A px + B py + C
+        ex = x1 - x0
+        ey = y1 - y0
+        norm = jnp.sqrt(ex * ex + ey * ey) + 1e-12
+        a = -ey * orient / norm
+        b = ex * orient / norm
+        cc = (ey * x0 - ex * y0) * orient / norm
+        return a, b, cc
+
+    a0, b0, c0 = edge(ax, ay, bx, by)
+    a1, b1, c1 = edge(bx, by, cx, cy)
+    a2, b2, c2 = edge(cx, cy, ax, ay)
+
+    # zinv plane: solve the affine fit through the three vertices.
+    z0, z1, z2 = zinv[:, 0], zinv[:, 1], zinv[:, 2]
+    za = (
+        (z1 - z0) * (cy - ay) - (z2 - z0) * (by - ay)
+    ) / area_safe
+    zb = (
+        (z2 - z0) * (bx - ax) - (z1 - z0) * (cx - ax)
+    ) / area_safe
+    zc = z0 - za * ax - zb * ay
+
+    valid = (keep > 0.0) & area_ok
+    zeros = jnp.zeros_like(ax)
+    return jnp.stack(
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, za, zb, zc,
+         valid.astype(jnp.float32), zeros, zeros, zeros],
+        axis=1,
+    )
+
+
+def resolve_winner_pallas(px, py, consts, tile_p: int = 2048,
+                          tri_chunk: int = 128) -> jax.Array:
+    """Winning triangle per pixel. px, py: (R,) float32 pixel coords;
+    consts: (T, 16) from raster_tri_constants. Returns (R,) int32."""
+    R = px.shape[0]
+    pad = (-R) % tile_p
+    coords = jnp.stack([px, py], axis=0)  # (2, R)
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.full((2, pad), -1e9, jnp.float32)], axis=1
+        )
+    Rp = R + pad
+
+    chunk = min(tri_chunk, 128)
+    T = ((consts.shape[0] + chunk - 1) // chunk) * chunk
+    if T != consts.shape[0]:
+        consts = jnp.concatenate(
+            [consts,
+             jnp.zeros((T - consts.shape[0], 16), jnp.float32)], axis=0
+        )
+    n_chunks = T // chunk
+
+    kernel = functools.partial(_kernel, tri_chunk=chunk)
+    idx = pl.pallas_call(
+        kernel,
+        grid=(Rp // tile_p, n_chunks),
+        in_specs=[
+            pl.BlockSpec((2, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 16), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_p), jnp.float32),
+            pltpu.VMEM((1, tile_p), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(coords, consts)
+    return idx[0, :R]

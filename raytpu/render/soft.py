@@ -166,24 +166,38 @@ def _screen_vertices(scene: Scene, camera: Camera, cfg: RenderConfig):
     return sx, sy, zinv, pos3d
 
 
-def _raster_fields(scene: Scene, camera: Camera, cfg: RenderConfig):
-    """Shared per-(pixel, triangle) fields for the exact/soft rasterizers:
-    signed distance (px, inside-positive), interpolated zinv, pos3d."""
+def _pixel_centers(cfg: RenderConfig) -> jax.Array:
     H, W = cfg.height, cfg.width
-    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
-
     ys, xs = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32) , jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    p = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (R, 2)
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (R, 2)
 
+
+def _raster_fields(scene: Scene, camera: Camera, cfg: RenderConfig):
+    """Per-(pixel, triangle) fields over ALL triangles (exact jnp path)."""
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
+    return _fields_for(_pixel_centers(cfg), sx, sy, zinv, pos3d)[:3]
+
+
+def _fields_for(p, sx, sy, zinv, pos3d):
+    """Per-(pixel, triangle) fields for a triangle SLICE:
+    signed distance (px, inside-positive), interpolated zinv, pos3d, and
+    an area-validity mask. p: (R, 2); sx/sy/zinv: (C, 3); pos3d: (C,3,3).
+
+    area_ok masks near-degenerate SCREEN-SPACE triangles (edge-on
+    surfaces, zero-area padding): their three near-parallel edges yield
+    sdist ~ 0 along an entire line, which would otherwise light up a
+    band of pixels (catastrophic on dense meshes).
+    """
     ax, ay = sx[:, 0], sy[:, 0]
     bx, by = sx[:, 1], sy[:, 1]
     cx, cy = sx[:, 2], sy[:, 2]
 
     # Twice-signed-area; orientation normalizes inside to positive.
-    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)  # (T,)
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)  # (C,)
+    area_ok = jnp.abs(area) > 1e-4  # px^2; sub-hundredth-pixel triangles
     orient = jnp.sign(jnp.where(jnp.abs(area) > 1e-12, area, 1e-12))
 
     def edge_vals(x0, y0, x1, y1):
@@ -199,7 +213,32 @@ def _raster_fields(scene: Scene, camera: Camera, cfg: RenderConfig):
     d0 = edge_vals(ax, ay, bx, by)
     d1 = edge_vals(bx, by, cx, cy)
     d2 = edge_vals(cx, cy, ax, ay)
-    sdist = jnp.minimum(jnp.minimum(d0, d1), d2)  # pixels, inside-positive
+    hp_min = jnp.minimum(jnp.minimum(d0, d1), d2)  # half-plane min
+
+    # True signed distance: the half-plane minimum is only valid INSIDE.
+    # Outside, in the cone regions beyond a vertex, a pixel can be near an
+    # edge's LINE extension while far from the triangle — with thousands
+    # of small triangles that covers the whole screen and leaks coverage.
+    # Use the exact distance to the nearest edge SEGMENT when outside.
+    def seg_dist(x0, y0, x1, y1):
+        ex = (x1 - x0)[None, :]
+        ey = (y1 - y0)[None, :]
+        len2 = ex * ex + ey * ey + 1e-12
+        tpar = jnp.clip(
+            ((p[:, 0:1] - x0[None, :]) * ex
+             + (p[:, 1:2] - y0[None, :]) * ey) / len2,
+            0.0, 1.0,
+        )
+        dx = p[:, 0:1] - (x0[None, :] + tpar * ex)
+        dy = p[:, 1:2] - (y0[None, :] + tpar * ey)
+        return jnp.sqrt(dx * dx + dy * dy + 1e-20)
+
+    seg_min = jnp.minimum(
+        jnp.minimum(seg_dist(ax, ay, bx, by), seg_dist(bx, by, cx, cy)),
+        seg_dist(cx, cy, ax, ay),
+    )
+    inside = hp_min >= 0.0
+    sdist = jnp.where(inside, hp_min, -seg_min)  # pixels, inside-positive
 
 
     # Screen-space barycentrics (normalized sub-areas).
@@ -236,21 +275,21 @@ def _raster_fields(scene: Scene, camera: Camera, cfg: RenderConfig):
         + l2c[..., None] * pos3d[None, :, 2, :]
     )  # (R, T, 3)
 
-    return sdist, zpx, ppx
+    return sdist, zpx, ppx, area_ok
 
 
-def _shade_hypotheses(ppx, zpx, scene: Scene, camera: Camera,
-                      lights: Lights, cfg: RenderConfig) -> jax.Array:
+def _shade_chunk(ppx, zpx, colors, normals, camera: Camera,
+                 lights: Lights, cfg: RenderConfig) -> jax.Array:
     """Clean PixelShader per (pixel, triangle) hypothesis
-    (`rasteriser.cpp:549-589`, no shadow). Returns (R, T, 3)."""
+    (`rasteriser.cpp:549-589`, no shadow). colors/normals: (C, 3).
+    Returns (R, C, 3)."""
     from raytpu.ops.raster import glm_inverse3
 
     inv_rot = glm_inverse3(camera.rotation())
     zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
     world = _MM((ppx / zsafe[..., None]), inv_rot) + camera.pos
-    normals = scene.normals()
     irr = irradiance_no_shadow(world, normals[None, :, :], lights)
-    return scene.color[None, :, :] * (irr + jnp.float32(cfg.ambient))
+    return colors[None, :, :] * (irr + jnp.float32(cfg.ambient))
 
 
 def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
@@ -266,20 +305,62 @@ def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
     perspective-correct scheme, same as `rasteriser.cpp:538-541`).
     """
     H, W = cfg.height, cfg.width
-    sdist, zpx, ppx = _raster_fields(scene, camera, cfg)
+    p = _pixel_centers(cfg)
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
     keep = scene.active
+    colors = scene.color
+    normals = scene.normals()
 
-    logit = (
-        cfg.soft_z_sharpness * zpx
-        + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * sdist)
-        + jnp.log(keep[None, :] + 1e-20)
+    T = scene.num_triangles
+    chunk = min(T, max(cfg.raster_tri_chunk, 1))
+    padn = (-T) % chunk
+    if padn:
+        def padt(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)], axis=0
+            )
+        sx, sy, zinv, pos3d = padt(sx), padt(sy), padt(zinv), padt(pos3d)
+        keep, colors, normals = padt(keep), padt(colors), padt(normals)
+    n_chunks = (T + padn) // chunk
+    R = p.shape[0]
+
+    def resh(a):
+        return a.reshape((n_chunks, chunk) + a.shape[1:])
+
+    def body(carry, inp):
+        m, s, acc = carry
+        sxc, syc, zc, pc, keepc, colc, nc = inp
+        sdist, zpx, ppx, area_ok = _fields_for(p, sxc, syc, zc, pc)
+        mask = keepc * area_ok.astype(jnp.float32)
+        logit = (
+            cfg.soft_z_sharpness * zpx
+            + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * sdist)
+            + jnp.log(mask[None, :] + 1e-20)
+        )
+        shade = _shade_chunk(ppx, zpx, colc, nc, camera, lights, cfg)
+        # Streaming ("online") softmax over triangle chunks — O(R * chunk)
+        # live memory, so 9k-triangle scenes fit (the monolithic (R, T)
+        # formulation would need GBs).
+        m_new = jnp.maximum(m, jnp.max(logit, axis=1))
+        scale = jnp.exp(m - m_new)
+        w = jnp.exp(logit - m_new[:, None])
+        s_new = s * scale + jnp.sum(w, axis=1)
+        acc_new = acc * scale[:, None] + jnp.einsum(
+            "rc,rcd->rd", w, shade
+        )
+        return (m_new, s_new, acc_new), None
+
+    # Background hypothesis: logit 0 at zinv = 0 (cleared depth buffer,
+    # `rasteriser.cpp:188`), black color.
+    init = (
+        jnp.zeros((R,), jnp.float32),        # m = bg logit
+        jnp.ones((R,), jnp.float32),         # s = bg weight
+        jnp.zeros((R, 3), jnp.float32),      # acc (bg is black)
     )
-    bg = jnp.zeros((logit.shape[0], 1))  # zinv = 0 background
-    w = jax.nn.softmax(jnp.concatenate([logit, bg], axis=1), axis=1)
-    w_tri = w[:, :-1]
-
-    shade = _shade_hypotheses(ppx, zpx, scene, camera, lights, cfg)
-    img = jnp.sum(w_tri[..., None] * shade, axis=1)
+    xs_in = (resh(sx), resh(sy), resh(zinv), resh(pos3d), resh(keep),
+             resh(colors), resh(normals))
+    (m, s_den, acc), _ = jax.lax.scan(body, init, xs_in)
+    img = acc / s_den[:, None]
     return img.reshape(H, W, 3)
 
 
@@ -287,25 +368,106 @@ def rasterize_exact(scene: Scene, camera: Camera, lights: Lights,
                     cfg: RenderConfig) -> jax.Array:
     """Float-precise HARD rasterizer — the limit of rasterize_soft.
 
-    Same geometry fields as the soft path, but a hard select: a pixel is
-    covered when its signed distance >= 0, and the max-zinv covered
-    triangle wins (background when none; zinv > 0 required, matching the
-    cleared depth buffer). This is 'clean'-mode rasterization: the
-    reference's scanline truncation quirks (kept in mode='parity') are
-    dropped in favor of exact coverage.
+    Same geometry as the soft path, but a hard select: a pixel is covered
+    when its signed distance >= 0, and the max-zinv covered triangle wins
+    (background when none; zinv > 0 required, matching the cleared depth
+    buffer). This is 'clean'-mode rasterization: the reference's scanline
+    truncation quirks (kept in mode='parity') are dropped.
+
+    The winner search runs in the fused Pallas tile kernel on TPU
+    (raytpu.kernels.raster_pallas); only the winner's attributes are then
+    recomputed and shaded — gradients flow through that recompute (the
+    winner index is piecewise-constant either way).
     """
     H, W = cfg.height, cfg.width
-    sdist, zpx, ppx = _raster_fields(scene, camera, cfg)
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
     keep = scene.active
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
 
-    covered = (sdist >= 0.0) & (keep[None, :] > 0.0) & (zpx > 0.0)
-    z_masked = jnp.where(covered, zpx, -jnp.inf)
-    winner = jnp.argmax(z_masked, axis=1)  # (R,)
-    hit = jnp.take_along_axis(z_masked, winner[:, None], axis=1)[:, 0] > 0.0
+    if cfg.pallas_enabled:
+        from raytpu.kernels.raster_pallas import (
+            raster_tri_constants,
+            resolve_winner_pallas,
+        )
 
-    shade = _shade_hypotheses(ppx, zpx, scene, camera, lights, cfg)
-    img = jnp.take_along_axis(
-        shade, winner[:, None, None].repeat(3, axis=2), axis=1
-    )[:, 0, :]
-    img = jnp.where(hit[:, None], img, 0.0)
+        consts = raster_tri_constants(sx, sy, zinv, keep)
+        winner = resolve_winner_pallas(px, py, jax.lax.stop_gradient(consts))
+    else:
+        sdist, zpx_f, _, area_ok = _fields_for(
+            _pixel_centers(cfg), sx, sy, zinv, pos3d
+        )
+        covered = (
+            (sdist >= 0.0) & (keep[None, :] > 0.0) & (zpx_f > 0.0)
+            & area_ok[None, :]
+        )
+        z_masked = jnp.where(covered, zpx_f, -jnp.inf)
+        arg = jnp.argmax(z_masked, axis=1)
+        hit = (
+            jnp.take_along_axis(z_masked, arg[:, None], axis=1)[:, 0] > 0.0
+        )
+        winner = jnp.where(hit, arg, -1).astype(jnp.int32)
+
+    img = _shade_winner(winner, px, py, sx, sy, zinv, pos3d, scene,
+                        camera, lights, cfg)
     return img.reshape(H, W, 3)
+
+
+def _shade_winner(winner, px, py, sx, sy, zinv, pos3d, scene: Scene,
+                  camera: Camera, lights: Lights,
+                  cfg: RenderConfig) -> jax.Array:
+    """Shade only each pixel's winning triangle: recompute its
+    barycentrics/attributes per pixel (O(R) instead of O(R*T)) and run the
+    clean PixelShader. winner: (R,) int32, -1 = background."""
+    from raytpu.ops.intersect import gather_rows, one_hot_idx
+    from raytpu.ops.raster import glm_inverse3
+
+    hit = winner >= 0
+    safe = jnp.maximum(winner, 0)
+    T = sx.shape[0]
+    if T <= 1024:
+        oh = one_hot_idx(safe, T)
+        vx = gather_rows(oh, sx)        # (R, 3)
+        vy = gather_rows(oh, sy)
+        vz = gather_rows(oh, zinv)
+        vp = gather_rows(oh, pos3d.reshape(T, 9)).reshape(-1, 3, 3)
+    else:
+        vx, vy = sx[safe], sy[safe]
+        vz, vp = zinv[safe], pos3d[safe]
+
+    ax, ay = vx[:, 0], vy[:, 0]
+    bx, by = vx[:, 1], vy[:, 1]
+    cx, cy = vx[:, 2], vy[:, 2]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    area_safe = jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    l0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) / area_safe
+    l1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) / area_safe
+    l2 = 1.0 - l0 - l1
+    l0c = jnp.clip(l0, 0.0, 1.0)
+    l1c = jnp.clip(l1, 0.0, 1.0)
+    l2c = jnp.clip(l2, 0.0, 1.0)
+    lsum = l0c + l1c + l2c + 1e-12
+    l0c, l1c, l2c = l0c / lsum, l1c / lsum, l2c / lsum
+
+    zpx = l0c * vz[:, 0] + l1c * vz[:, 1] + l2c * vz[:, 2]
+    ppx = (
+        l0c[:, None] * vp[:, 0] + l1c[:, None] * vp[:, 1]
+        + l2c[:, None] * vp[:, 2]
+    )
+
+    inv_rot = glm_inverse3(camera.rotation())
+    zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
+    world = _MM(ppx / zsafe[:, None], inv_rot) + camera.pos
+    if T <= 1024:
+        n_dir = gather_rows(oh, scene.normals())
+        albedo = gather_rows(oh, scene.color)
+    else:
+        n_dir = scene.normals()[safe]
+        albedo = scene.color[safe]
+    irr = irradiance_no_shadow(world, n_dir, lights)
+    color = albedo * (irr + jnp.float32(cfg.ambient))
+    return jnp.where(hit[:, None], color, 0.0)
