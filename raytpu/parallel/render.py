@@ -145,9 +145,21 @@ class TrainState(NamedTuple):
     opt_state: object
 
 
+def _resolve_pallas_for_mesh(mesh, cfg: RenderConfig) -> RenderConfig:
+    """cfg.use_pallas=None means 'auto by backend' — but the mesh may live
+    on different devices than the default backend (e.g. virtual CPU
+    devices for the multichip dryrun while the default is the TPU).
+    Resolve against the mesh's own devices."""
+    if cfg.use_pallas is None:
+        platform = mesh.devices.flat[0].platform
+        cfg = cfg.replace(use_pallas=(platform == "tpu"))
+    return cfg
+
+
 def make_sharded_render(mesh, cfg: RenderConfig):
     """jit-compiled sharded forward render: returns (H, W, 3) image sharded
     row-wise over the data axis."""
+    cfg = _resolve_pallas_for_mesh(mesh, cfg)
     nd = mesh.shape[DATA_AXIS]
     if cfg.height % nd != 0:
         raise ValueError(f"height {cfg.height} not divisible by {nd}")
@@ -175,6 +187,7 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer):
     loss = mean squared error to the target image. Returns
     (train_step, loss_fn) — both jit-compiled for the mesh.
     """
+    cfg = _resolve_pallas_for_mesh(mesh, cfg)
     nd = mesh.shape[DATA_AXIS]
     if cfg.height % nd != 0:
         raise ValueError(f"height {cfg.height} not divisible by {nd}")

@@ -43,16 +43,18 @@ _MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 # Soft raytracer
 # ---------------------------------------------------------------------------
 
-def _ray_tri_tuv(dirs: jax.Array, scene: Scene, start: jax.Array):
+def _ray_tri_tuv(dirs: jax.Array, v0, v1, v2, start: jax.Array):
     """Per-(ray, triangle) t, u, v via the matmul formulation
-    (see raytpu.ops.intersect). dirs (R, 3) -> each (R, T)."""
-    e1, e2 = scene.edges()
-    b = start[None, :] - scene.v0
+    (see raytpu.ops.intersect). dirs (R, 3), v0/v1/v2 (C, 3) ->
+    each (R, C)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    b = start[None, :] - v0
     n = jnp.cross(e1, e2)
     m = jnp.stack([n, jnp.cross(e2, b), jnp.cross(b, e1)], axis=1)
     k0 = jnp.sum(n * b, axis=-1)
-    T = m.shape[0]
-    prods = _MM(dirs, m.reshape(3 * T, 3).T).reshape(-1, T, 3)
+    C = m.shape[0]
+    prods = _MM(dirs, m.reshape(3 * C, 3).T).reshape(-1, C, 3)
     denom = -prods[..., 0]
     safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
     t = k0[None, :] / safe
@@ -61,91 +63,153 @@ def _ray_tri_tuv(dirs: jax.Array, scene: Scene, start: jax.Array):
     return t, u, v
 
 
+def _chunked_scene(scene: Scene, chunk: int):
+    """Pad + reshape scene arrays to (n_chunks, chunk, ...) for lax.scan."""
+    T = scene.num_triangles
+    chunk = min(T, max(chunk, 1))
+    padn = (-T) % chunk
+    arrays = dict(v0=scene.v0, v1=scene.v1, v2=scene.v2,
+                  color=scene.color, active=scene.active,
+                  normal=scene.normals())
+    if padn:
+        for k, a in arrays.items():
+            pad = jnp.zeros((padn,) + a.shape[1:], a.dtype)
+            arrays[k] = jnp.concatenate([a, pad], axis=0)
+    n_chunks = (T + padn) // chunk
+    return {
+        k: a.reshape((n_chunks, chunk) + a.shape[1:])
+        for k, a in arrays.items()
+    }
+
+
 def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
                   cfg: RenderConfig) -> jax.Array:
     """Differentiable raytrace; returns (H, W, 3).
 
-    Visibility: coverage = sigmoid(edge_sharpness * margin) with margin =
-    min(u, v, 1-u-v) (inside-positive barycentric margin); depth resolve =
-    softmin over t among covered triangles (logit = -z_sharpness * t +
-    log coverage); miss handled by a background hypothesis with logit
-    -z_sharpness * t_far.
+    Visibility: coverage = log_sigmoid(edge_sharpness * margin) with
+    margin = min(u, v, 1-u-v) (inside-positive barycentric margin); depth
+    resolve = softmin over t (logit = -z_sharpness * min(t, t_far) +
+    coverage); miss handled by a background hypothesis at t_far. Triangles
+    stream in chunks through an online softmax (O(R * chunk) memory).
 
-    Shadows: the clean shadow test relaxed to
-    sigmoid(shadow_sharpness * (0.99 r - d_occluder)) at the aggregated hit
-    position — one shadow pass per light, not per triangle hypothesis
-    (documented approximation; exact in the hard limit for unoccluded /
-    fully-occluded pixels).
+    Shadows: the clean shadow test relaxed to a product of per-triangle
+    transmittances sigmoid(z_sharpness * (0.99 r - t_occ)) at the
+    aggregated hit position, averaged over the light's jittered
+    soft-shadow samples when cfg.soft_shadow_samples > 1
+    (`raytracer.cpp:272-296`). One shadow sweep per light sample, not per
+    hypothesis (documented approximation; exact in the hard limit).
+
+    Temperature note for OPEN scenes (rays that can miss everything): the
+    additive logit trades edge distance against depth advantage, so a
+    far-missed triangle in front of the background plane wins unless
+    edge_sharpness * |typical margin| >> z_sharpness * t_far. Enclosed
+    scenes (the Cornell box) are insensitive; for open scenes set
+    soft_edge_sharpness ~ 100x soft_z_sharpness.
     """
     xs, ys = pixel_grid(cfg)
     dirs = camera_ray_dirs(xs, ys, camera, cfg)
-    t, u, v = _ray_tri_tuv(dirs, scene, camera.pos)
-
-    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
-    t_pos = jnp.where(t > 1e-6, t, jnp.inf)
-
-    # Depth logits; background at t_far. The coverage term uses
-    # log_sigmoid so the penalty grows without bound as a ray moves away
-    # from a triangle — a floored log(cov + eps) lets a nearby-but-missed
-    # plane outbid the true hit once z_sharpness * dt exceeds the floor.
+    R = dirs.shape[0]
     t_far = jnp.float32(20.0)
-    logit = (
-        -cfg.soft_z_sharpness * jnp.minimum(t_pos, t_far)
-        + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * margin)
-        + jnp.log(scene.active[None, :] + 1e-20)
+    chunks = _chunked_scene(scene, cfg.raster_tri_chunk)
+
+    def body(carry, ch):
+        m, s, acc, pos_acc = carry
+        t, u, v = _ray_tri_tuv(dirs, ch["v0"], ch["v1"], ch["v2"],
+                               camera.pos)
+        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        t_pos = jnp.where(t > 1e-6, t, jnp.inf)
+        logit = (
+            -cfg.soft_z_sharpness * jnp.minimum(t_pos, t_far)
+            + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * margin)
+            + jnp.log(ch["active"][None, :] + 1e-20)
+        )
+        pos = camera.pos[None, None, :] + jnp.where(
+            jnp.isfinite(t_pos), t_pos, 0.0
+        )[..., None] * dirs[:, None, :]
+        irr = irradiance_no_shadow(pos, ch["normal"][None, :, :], lights)
+        shade = ch["color"][None, :, :] * (irr + jnp.float32(cfg.ambient))
+        amb = jnp.broadcast_to(
+            ch["color"][None, :, :] * jnp.float32(cfg.ambient), shade.shape
+        )
+
+        # Online softmax over triangle chunks; acc carries the
+        # (shaded color, ambient-only color, position) numerators.
+        m_new = jnp.maximum(m, jnp.max(logit, axis=1))
+        scale = jnp.exp(m - m_new)
+        w = jnp.exp(logit - m_new[:, None])
+        s_new = s * scale + jnp.sum(w, axis=1)
+        num = jnp.concatenate([shade, amb, pos], axis=-1)  # (R, C, 9)
+        acc_new = acc * scale[:, None] + jnp.einsum("rc,rcd->rd", w, num)
+        return (m_new, s_new, acc_new, pos_acc), None
+
+    # Background hypothesis at t_far (black, position at t_far along d).
+    m0 = jnp.full((R,), -cfg.soft_z_sharpness * t_far)
+    init = (
+        m0,
+        jnp.ones((R,), jnp.float32),
+        jnp.zeros((R, 9), jnp.float32),
+        0.0,
     )
-    bg_logit = jnp.full(
-        (logit.shape[0], 1), -cfg.soft_z_sharpness * t_far
+    (m, s_den, acc, _), _ = jax.lax.scan(
+        body, init,
+        jax.tree_util.tree_map(lambda a: a, chunks),
     )
-    w = jax.nn.softmax(jnp.concatenate([logit, bg_logit], axis=1), axis=1)
-    w_tri = w[:, :-1]  # (R, T)
+    img = acc[:, 0:3] / s_den[:, None]
+    amb = acc[:, 3:6] / s_den[:, None]
+    agg_pos = acc[:, 6:9] / s_den[:, None]
 
-    # Per-hypothesis shading (no shadow): pos_rt = start + t * d.
-    pos = camera.pos[None, None, :] + jnp.where(
-        jnp.isfinite(t_pos), t_pos, 0.0
-    )[..., None] * dirs[:, None, :]
-    normals = scene.normals()  # (T, 3)
-    irr = irradiance_no_shadow(pos, normals[None, :, :], lights)  # (R, T, 3)
-    shade = scene.color[None, :, :] * (irr + jnp.float32(cfg.ambient))
-
-    img = jnp.sum(w_tri[..., None] * shade, axis=1)  # background is black
-
-    # Soft shadow factor at the aggregated position.
-    agg_pos = jnp.sum(w_tri[..., None] * pos, axis=1)
+    # Soft shadow factor at the aggregated position; direct term scaled,
+    # ambient kept (`raytracer.cpp:314` zeroes only D).
     shadow = _soft_shadow_factor(agg_pos, scene, lights, cfg)
-    # Blend: direct part scaled by shadow, ambient part kept.
-    amb = jnp.sum(
-        w_tri[..., None] * (scene.color[None, :, :] * cfg.ambient), axis=1
-    )
     img = (img - amb) * shadow[..., None] + amb
     return img.reshape(cfg.height, cfg.width, 3)
 
 
 def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
                         cfg: RenderConfig) -> jax.Array:
-    """Smooth visibility toward each active light, averaged by light mask.
+    """Smooth visibility toward each active light, averaged by light mask
+    and over jittered soft-shadow sample positions.
 
     Relaxation of `raytracer.cpp:307-315`: occluded when an intersection
-    from the light toward the point is closer than 0.99 r.
+    from the light toward the point is closer than 0.99 r; soft-shadow
+    sample positions are the precomputed jitters (`raytracer.cpp:186-190`).
+    Triangles stream in chunks (transmittance is a product, so the
+    combine is chunk-associative).
     """
     total = jnp.zeros(world.shape[0])
     denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
+    samples = max(cfg.soft_shadow_samples, 1)
+    chunks = _chunked_scene(scene, cfg.raster_tri_chunk)
+
     for k in range(lights.capacity):
-        delta = world - lights.position[k]
-        r = jnp.linalg.norm(delta, axis=-1)
-        d_hat = delta / r[..., None]
-        t, u, v = _ray_tri_tuv(d_hat, scene, lights.position[k])
-        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
-        cov = jax.nn.sigmoid(cfg.soft_edge_sharpness * margin)
-        cov = cov * scene.active[None, :]
-        t_occ = jnp.where(t > 1e-6, t, jnp.inf)
-        # Smooth "does any occluder sit closer than 0.99 r": per-triangle
-        # occlusion prob, combined as product of transmittances.
-        occ = cov * jax.nn.sigmoid(
-            cfg.soft_z_sharpness * (0.99 * r[:, None] - t_occ)
-        )
-        trans = jnp.prod(1.0 - occ + 1e-20, axis=1)
-        total = total + lights.mask[k] * trans
+        light_total = jnp.zeros(world.shape[0])
+        for si in range(samples):
+            if samples > 1:
+                position = lights.jitter[k, si]
+            else:
+                position = lights.position[k]
+            delta = world - position
+            r = jnp.linalg.norm(delta, axis=-1)
+            d_hat = delta / r[..., None]
+
+            def body(trans, ch, position=position, r=r, d_hat=d_hat):
+                t, u, v = _ray_tri_tuv(
+                    d_hat, ch["v0"], ch["v1"], ch["v2"], position
+                )
+                margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+                cov = jax.nn.sigmoid(cfg.soft_edge_sharpness * margin)
+                cov = cov * ch["active"][None, :]
+                t_occ = jnp.where(t > 1e-6, t, jnp.inf)
+                occ = cov * jax.nn.sigmoid(
+                    cfg.soft_z_sharpness * (0.99 * r[:, None] - t_occ)
+                )
+                return trans * jnp.prod(1.0 - occ + 1e-20, axis=1), None
+
+            trans, _ = jax.lax.scan(
+                body, jnp.ones(world.shape[0]), chunks
+            )
+            light_total = light_total + trans
+        total = total + lights.mask[k] * (light_total / samples)
     return total / denom
 
 

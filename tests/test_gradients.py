@@ -273,3 +273,19 @@ def test_soft_silhouette_gradient_sign():
 
     g = jax.grad(block_coverage)(jnp.float32(0.0))
     assert float(g) < 0.0
+
+
+def test_soft_chunking_equivalence():
+    """Streaming-softmax chunked soft renders must match the monolithic
+    single-chunk computation (same math, different association order)."""
+    scene, cam, lights, _ = _setup()
+    base = dict(width=SIZE, height=SIZE, mode="soft",
+                soft_edge_sharpness=20.0, soft_z_sharpness=20.0)
+    for fn in (rasterize_soft, raytrace_soft):
+        img1 = np.asarray(
+            fn(scene, cam, lights, RenderConfig(**base, raster_tri_chunk=30))
+        )
+        img2 = np.asarray(
+            fn(scene, cam, lights, RenderConfig(**base, raster_tri_chunk=8))
+        )
+        np.testing.assert_allclose(img1, img2, atol=2e-5, rtol=1e-4)

@@ -115,3 +115,26 @@ def test_clean_mode_single_albedo():
     assert not np.allclose(img_p, img_c)
     # clean >= parity wherever lit (albedo <= 1 so p*D <= D... p^2*D <= p*D).
     assert (img_c - img_p).min() >= -1e-5
+
+
+def test_yaw_rotation_parity():
+    """Non-zero yaw pins the GLM column-major rotation convention
+    (`raytracer.cpp:376-382`): cameraRot * d with columns
+    [c,0,s],[0,1,0],[-s,0,c]."""
+    yaw = 0.35
+    cfg = RenderConfig(width=48, height=48)
+    cam = Camera.make((0.0, 0.0, -2.0), yaw=yaw, focal=250.0 * 48 / 500)
+    img_j, _ = _jax_render(cfg, camera=cam)
+    img_o, _ = _oracle_render(width=48, height=48,
+                              focal=250.0 * 48 / 500, yaw=yaw)
+    _assert_images_match(img_j, img_o, u8_frac=0.99)
+
+
+def test_camera_translation_parity():
+    cfg = RenderConfig(width=48, height=48)
+    cam = Camera.make((0.3, -0.2, -1.5), focal=250.0 * 48 / 500)
+    img_j, _ = _jax_render(cfg, camera=cam)
+    img_o, _ = _oracle_render(width=48, height=48,
+                              focal=250.0 * 48 / 500,
+                              camera_pos=(0.3, -0.2, -1.5))
+    _assert_images_match(img_j, img_o, u8_frac=0.99)
