@@ -76,24 +76,34 @@ def _kernel(dirs_ref, m_ref, t_ref, idx_ref, best_t_ref, best_idx_ref, *,
     c3_rows = m_ref[2 * C : 3 * C, :]
     k0 = m_ref[3 * C : 4 * C, 0:1]  # (C, 1)
 
-    # precision=HIGHEST: the MXU multiplies in bf16 by default, a ~4e-3
-    # relative error on the plane equations that flips closest-hit winners
-    # near silhouettes (observed as 1e-3-level t mismatches vs the XLA
-    # path). HIGHEST selects the multi-pass f32 emulation; with K=3 the
-    # matmul is nowhere near the bottleneck.
-    dn = jnp.dot(n_rows, dirs, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    du = jnp.dot(c2_rows, dirs, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    dv = jnp.dot(c3_rows, dirs, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    # K=3 "matmuls" as VPU broadcast-FMA: (C,1)x(1,TILE_R) outer products.
+    # The obvious jnp.dot(HIGHEST) alternative runs the f32 six-pass MXU
+    # emulation and is ~2x slower end-to-end (the MXU is >97% padding at
+    # K=3); bf16 single-pass is fast but flips closest-hit winners near
+    # silhouettes (a real miscompile we caught). The FMA form is exact-f32
+    # and matches the XLA path (raytpu.ops.intersect uses the identical
+    # formulation) bit-for-bit.
+    dx = dirs[0:1, :]
+    dy = dirs[1:2, :]
+    dz = dirs[2:3, :]
+
+    def dot3(rows):
+        return rows[:, 0:1] * dx + rows[:, 1:2] * dy + rows[:, 2:3] * dz
+
+    dn = dot3(n_rows)
+    du = dot3(c2_rows)
+    dv = dot3(c3_rows)
 
     denom = -dn
     nonpar = denom != 0.0
     denom_safe = jnp.where(nonpar, denom, 1.0)
-    t = k0 / denom_safe
-    u = du / denom_safe
-    v = dv / denom_safe
+    # One reciprocal + three multiplies instead of three divides (the VPU
+    # divide is the slowest elementwise op in this kernel). The XLA path
+    # uses the identical recip-multiply so results stay bit-equal.
+    recip = 1.0 / denom_safe
+    t = k0 * recip
+    u = du * recip
+    v = dv * recip
     ok = (
         (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0) & nonpar
     )
@@ -126,8 +136,10 @@ def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
     if R % tile_r != 0:
         raise ValueError(f"ray count {R} not a multiple of {tile_r}")
     # Chunk size: (C, TILE_R) temporaries dominate VMEM; C=128 keeps the
-    # working set ~a few MB at TILE_R=2048.
-    chunk = min(tri_chunk, 128)
+    # working set ~a few MB at TILE_R=2048. Small scenes take a TIGHT
+    # chunk (T rounded up to the f32 sublane tile of 8) — padding the
+    # 32-triangle Cornell box to C=128 would 4x the per-ray work.
+    chunk = min(tri_chunk, 128, max(8, -(-m.shape[0] // 8) * 8))
     T = ((m.shape[0] + chunk - 1) // chunk) * chunk
     padn = T - m.shape[0]
     if padn:

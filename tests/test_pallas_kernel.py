@@ -35,7 +35,13 @@ def test_forward_matches_jnp():
     h_j = intersect(dirs, consts)
     h_p = intersect(dirs, consts, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(h_j.idx), np.asarray(h_p.idx))
-    np.testing.assert_array_equal(np.asarray(h_j.t), np.asarray(h_p.t))
+    # On TPU the two paths are bit-equal (identical VPU FMA chains —
+    # verified 0 t-diffs on hardware, bench/check_exact.py). Under CPU
+    # interpret mode XLA's fused mul-add contraction differs from the
+    # op-by-op interpreter by 1 ulp, so t gets a tolerance here.
+    np.testing.assert_allclose(
+        np.asarray(h_j.t), np.asarray(h_p.t), rtol=5e-7
+    )
 
 
 def test_forward_matches_jnp_padded_scene():
