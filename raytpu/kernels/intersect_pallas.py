@@ -48,6 +48,44 @@ from raytpu.ops.intersect import Hits, TriConstants
 _F32MAX = 3.4028235e38
 
 
+def _chunk_tuv(m_ref, C: int, dx, dy, dz):
+    """Plane tests of one constant chunk against a ray tile.
+
+    m_ref: the (4C, 3) chunk-blocked constants (rows [n | c2 | c3 | k0]);
+    dx/dy/dz: (1, TILE_R) ray direction components. Returns
+    (t (C, TILE_R), ok (C, TILE_R)).
+
+    The K=3 "matmuls" run as VPU broadcast-FMA: (C,1)x(1,TILE_R) outer
+    products. The obvious jnp.dot(HIGHEST) alternative runs the f32
+    six-pass MXU emulation and is ~2x slower end-to-end (the MXU is >97%
+    padding at K=3); bf16 single-pass is fast but flips closest-hit
+    winners near silhouettes (a real miscompile we caught). The FMA form
+    is exact-f32 and matches the XLA path (raytpu.ops.intersect uses the
+    identical formulation) bit-for-bit. One reciprocal + three multiplies
+    instead of three divides (the VPU divide is the slowest elementwise op
+    here); the XLA path uses the identical recip-multiply.
+    """
+    n_rows = m_ref[0:C, :]
+    c2_rows = m_ref[C : 2 * C, :]
+    c3_rows = m_ref[2 * C : 3 * C, :]
+    k0 = m_ref[3 * C : 4 * C, 0:1]  # (C, 1)
+
+    def dot3(rows):
+        return rows[:, 0:1] * dx + rows[:, 1:2] * dy + rows[:, 2:3] * dz
+
+    denom = -dot3(n_rows)
+    nonpar = denom != 0.0
+    denom_safe = jnp.where(nonpar, denom, 1.0)
+    recip = 1.0 / denom_safe
+    t = k0 * recip
+    u = dot3(c2_rows) * recip
+    v = dot3(c3_rows) * recip
+    ok = (
+        (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0) & nonpar
+    )
+    return t, ok
+
+
 def _kernel(dirs_ref, m_ref, t_ref, idx_ref, best_t_ref, best_idx_ref, *,
             tri_chunk: int):
     """One (ray tile, triangle chunk) grid step.
@@ -71,42 +109,7 @@ def _kernel(dirs_ref, m_ref, t_ref, idx_ref, best_t_ref, best_idx_ref, *,
         best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
         best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
 
-    n_rows = m_ref[0:C, :]
-    c2_rows = m_ref[C : 2 * C, :]
-    c3_rows = m_ref[2 * C : 3 * C, :]
-    k0 = m_ref[3 * C : 4 * C, 0:1]  # (C, 1)
-
-    # K=3 "matmuls" as VPU broadcast-FMA: (C,1)x(1,TILE_R) outer products.
-    # The obvious jnp.dot(HIGHEST) alternative runs the f32 six-pass MXU
-    # emulation and is ~2x slower end-to-end (the MXU is >97% padding at
-    # K=3); bf16 single-pass is fast but flips closest-hit winners near
-    # silhouettes (a real miscompile we caught). The FMA form is exact-f32
-    # and matches the XLA path (raytpu.ops.intersect uses the identical
-    # formulation) bit-for-bit.
-    dx = dirs[0:1, :]
-    dy = dirs[1:2, :]
-    dz = dirs[2:3, :]
-
-    def dot3(rows):
-        return rows[:, 0:1] * dx + rows[:, 1:2] * dy + rows[:, 2:3] * dz
-
-    dn = dot3(n_rows)
-    du = dot3(c2_rows)
-    dv = dot3(c3_rows)
-
-    denom = -dn
-    nonpar = denom != 0.0
-    denom_safe = jnp.where(nonpar, denom, 1.0)
-    # One reciprocal + three multiplies instead of three divides (the VPU
-    # divide is the slowest elementwise op in this kernel). The XLA path
-    # uses the identical recip-multiply so results stay bit-equal.
-    recip = 1.0 / denom_safe
-    t = k0 * recip
-    u = du * recip
-    v = dv * recip
-    ok = (
-        (u + v <= 1.0) & (u >= 0.0) & (v >= 0.0) & (t >= 0.0) & nonpar
-    )
+    t, ok = _chunk_tuv(m_ref, C, dirs[0:1, :], dirs[1:2, :], dirs[2:3, :])
     tm = jnp.where(ok, t, _F32MAX)  # (C, TILE_R)
 
     chunk_min = jnp.min(tm, axis=0, keepdims=True)  # (1, TILE_R)
@@ -129,17 +132,19 @@ def _kernel(dirs_ref, m_ref, t_ref, idx_ref, best_t_ref, best_idx_ref, *,
         idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx, -1)
 
 
-def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
-                     valid: jax.Array, *, tile_r: int, tri_chunk: int):
-    """dirs_t: (3, R). m: (T, 3, 3). Returns (t (R,), idx (R,))."""
-    R = dirs_t.shape[1]
-    if R % tile_r != 0:
-        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
-    # Chunk size: (C, TILE_R) temporaries dominate VMEM; C=128 keeps the
-    # working set ~a few MB at TILE_R=2048. Small scenes take a TIGHT
-    # chunk (T rounded up to the f32 sublane tile of 8) — padding the
-    # 32-triangle Cornell box to C=128 would 4x the per-ray work.
-    chunk = min(tri_chunk, 128, max(8, -(-m.shape[0] // 8) * 8))
+def _tight_chunk(T: int, tri_chunk: int) -> int:
+    """Chunk size: (C, TILE_R) temporaries dominate VMEM; C=128 keeps the
+    working set ~a few MB at TILE_R=2048. Small scenes take a TIGHT
+    chunk (T rounded up to the f32 sublane tile of 8) — padding the
+    32-triangle Cornell box to C=128 would 4x the per-ray work."""
+    return min(tri_chunk, 128, max(8, -(-T // 8) * 8))
+
+
+def _blocked_constants(m, k0, valid, chunk):
+    """Pad to a chunk multiple and pack the chunk-blocked row layout:
+    per chunk [n | c2 | c3 | k0-row] (4C, 3); invalid triangles zeroed
+    (denominator 0 => never a hit). Returns ((n_chunks*4C, 3), n_chunks).
+    """
     T = ((m.shape[0] + chunk - 1) // chunk) * chunk
     padn = T - m.shape[0]
     if padn:
@@ -151,9 +156,6 @@ def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
             [valid, jnp.zeros((padn,), jnp.float32)]
         )
     n_chunks = T // chunk
-
-    # Chunk-blocked row layout: per chunk [n | c2 | c3 | k0-row] (4C, 3);
-    # invalid triangles zeroed (denominator 0 => never a hit).
     m_masked = m * valid[:, None, None]
     k0_masked = k0 * valid
     mc = m_masked.reshape(n_chunks, chunk, 3, 3)
@@ -164,6 +166,17 @@ def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
     blocked = jnp.concatenate(
         [mc[:, :, 0, :], mc[:, :, 1, :], mc[:, :, 2, :], k0_rows], axis=1
     ).reshape(n_chunks * 4 * chunk, 3)
+    return blocked, n_chunks
+
+
+def _closest_hit_raw(dirs_t: jax.Array, m: jax.Array, k0: jax.Array,
+                     valid: jax.Array, *, tile_r: int, tri_chunk: int):
+    """dirs_t: (3, R). m: (T, 3, 3). Returns (t (R,), idx (R,))."""
+    R = dirs_t.shape[1]
+    if R % tile_r != 0:
+        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
+    chunk = _tight_chunk(m.shape[0], tri_chunk)
+    blocked, n_chunks = _blocked_constants(m, k0, valid, chunk)
 
     grid = (R // tile_r, n_chunks)  # chunk axis fastest
     kernel = functools.partial(_kernel, tri_chunk=chunk)
@@ -270,6 +283,200 @@ def _bwd(tile_r, tri_chunk, res, cts):
 
 
 closest_hit.defvjp(_fwd, _bwd)
+
+
+def _fused_kernel(dirs_ref, blk_ref, org_ref, t_ref, idx_ref, occ_ref,
+                  best_t_ref, best_idx_ref, d2_ref, occ_acc_ref, *,
+                  tri_chunk: int, n_chunks: int):
+    """Fused primary closest-hit + shadow any-hit occlusion.
+
+    Two-phase grid over the (fastest) chunk axis c in [0, 2*n_chunks):
+      c < n_chunks   — primary closest-hit chunk steps (camera-origin
+                       constants), carrying (best_t, best_idx) scratch.
+      c == n_chunks  — phase boundary: reconstruct hit positions
+                       pos = cam + t*d, form the UNNORMALIZED shadow-ray
+                       directions d2 = pos - light into scratch.
+      c >= n_chunks  — shadow chunk steps (light-origin constants): any
+                       valid intersection at ray parameter t < 0.99
+                       occludes (`raytracer.cpp:310-315` with d2 scaling:
+                       t is the fraction of the light distance).
+    Everything stays in VMEM between phases — the only HBM traffic is the
+    ray tile in and (t, idx, occluded) out.
+
+    org_ref: (8, 128) params block; camera position at [0:3, 0], light
+    position at [3:6, 0].
+    """
+    c = pl.program_id(1)
+    C = tri_chunk
+
+    @pl.when(c == 0)
+    def _():
+        best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
+        best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
+
+    @pl.when(c < n_chunks)
+    def _primary():
+        dirs = dirs_ref[:, :]
+        t, ok = _chunk_tuv(blk_ref, C, dirs[0:1, :], dirs[1:2, :],
+                           dirs[2:3, :])
+        tm = jnp.where(ok, t, _F32MAX)
+        chunk_min = jnp.min(tm, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+        # Last triangle wins ties (`raytracer.cpp:243` >= update).
+        chunk_idx = jnp.max(
+            jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
+        ) + c * C
+        best_t = best_t_ref[:, :]
+        upd = chunk_min <= best_t
+        best_t_ref[:, :] = jnp.where(upd, chunk_min, best_t)
+        best_idx_ref[:, :] = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+
+    @pl.when(c == n_chunks)
+    def _boundary():
+        dirs = dirs_ref[:, :]
+        best_t = best_t_ref[:, :]
+        tz = jnp.where(best_t < _F32MAX, best_t, 0.0)  # (1, TILE_R)
+        # Same op order as the XLA path (hit_positions then delta):
+        # pos = cam + t*d; d2 = pos - light.
+        for i in range(3):
+            cam_i = org_ref[i : i + 1, 0:1]
+            light_i = org_ref[3 + i : 4 + i, 0:1]
+            d2_ref[i : i + 1, :] = (
+                cam_i + tz * dirs[i : i + 1, :]
+            ) - light_i
+        occ_acc_ref[:, :] = jnp.zeros_like(occ_acc_ref[:, :])
+
+    @pl.when(c >= n_chunks)
+    def _shadow():
+        t, ok = _chunk_tuv(blk_ref, C, d2_ref[0:1, :], d2_ref[1:2, :],
+                           d2_ref[2:3, :])
+        occ = ok & (t < 0.99)
+        any_occ = jnp.max(
+            jnp.where(occ, 1.0, 0.0), axis=0, keepdims=True
+        )  # (1, TILE_R)
+        occ_acc_ref[:, :] = jnp.maximum(occ_acc_ref[:, :], any_occ)
+
+    @pl.when(c == 2 * n_chunks - 1)
+    def _emit():
+        best_t = best_t_ref[:, :]
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx_ref[:, :], -1)
+        occ_ref[:, :] = (occ_acc_ref[:, :] > 0.0).astype(jnp.int32)
+
+
+def _fused_raw(dirs_t, m, k0, valid, m_l, k0_l, cam_pos, light_pos, *,
+               tile_r: int, tri_chunk: int):
+    """dirs_t: (3, R). Returns (t (R,), idx (R,), occluded (R,) int32)."""
+    R = dirs_t.shape[1]
+    if R % tile_r != 0:
+        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
+    chunk = _tight_chunk(m.shape[0], tri_chunk)
+    blk_p, n_chunks = _blocked_constants(m, k0, valid, chunk)
+    blk_s, _ = _blocked_constants(m_l, k0_l, valid, chunk)
+    blocked = jnp.concatenate([blk_p, blk_s], axis=0)
+    org = jnp.zeros((8, 128), jnp.float32)
+    org = org.at[0:3, 0].set(cam_pos)
+    org = org.at[3:6, 0].set(light_pos)
+
+    grid = (R // tile_r, 2 * n_chunks)  # chunk/phase axis fastest
+    kernel = functools.partial(_fused_kernel, tri_chunk=chunk,
+                               n_chunks=n_chunks)
+    t, idx, occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+            pltpu.VMEM((3, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(dirs_t, blocked, org)
+    return t[0], idx[0], occ[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def closest_hit_occluded(dirs, m, k0, valid, m_l, k0_l, cam_pos, light_pos,
+                         tile_r=2048, tri_chunk=512):
+    """Differentiable fused closest hit + hard-shadow occlusion.
+
+    Returns (t (R,), idx (R,), occluded (R,) int32). t/idx are identical
+    to closest_hit; occluded is the reference hard-shadow test
+    (`raytracer.cpp:307-315`) evaluated in-kernel. The occlusion bit and
+    the winner index are piecewise-constant (zero gradient a.e.); t
+    carries the same analytic VJP as closest_hit.
+    """
+    return _fused_raw(dirs.T, m, k0, valid, m_l, k0_l, cam_pos, light_pos,
+                      tile_r=tile_r, tri_chunk=tri_chunk)
+
+
+def _fused_fwd(dirs, m, k0, valid, m_l, k0_l, cam_pos, light_pos, tile_r,
+               tri_chunk):
+    t, idx, occ = closest_hit_occluded(
+        dirs, m, k0, valid, m_l, k0_l, cam_pos, light_pos, tile_r, tri_chunk
+    )
+    return (t, idx, occ), (dirs, m, k0, t, idx)
+
+
+def _fused_bwd(tile_r, tri_chunk, res, cts):
+    t_bar = cts[0]
+    g_dirs, g_m, g_k0, _ = _bwd(tile_r, tri_chunk, res, (t_bar, None))
+    return g_dirs, g_m, g_k0, None, None, None, None, None
+
+
+closest_hit_occluded.defvjp(_fused_fwd, _fused_bwd)
+
+
+def intersect_occluded_pallas(
+    dirs: jax.Array, consts: TriConstants, consts_light: TriConstants,
+    cam_pos: jax.Array, light_pos: jax.Array,
+    tile_r: int = 2048, tri_chunk: int = 512,
+) -> tuple[Hits, jax.Array]:
+    """Fused primary intersect + hard-shadow occlusion toward one light.
+
+    Returns (Hits, occluded (R,) bool). Pads the ray count internally.
+    """
+    R = dirs.shape[0]
+    pad = (-R) % tile_r
+    if pad:
+        dirs_p = jnp.concatenate(
+            [dirs, jnp.ones((pad, 3), dirs.dtype)], axis=0
+        )
+    else:
+        dirs_p = dirs
+    t, idx, occ = closest_hit_occluded(
+        dirs_p, consts.m, consts.k0, consts.valid,
+        consts_light.m, consts_light.k0, cam_pos, light_pos,
+        tile_r, tri_chunk,
+    )
+    t = t[:R]
+    idx = idx[:R]
+    hit = t < _F32MAX
+    return (
+        Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
+        occ[:R].astype(bool),
+    )
 
 
 def intersect_pallas(dirs: jax.Array, consts: TriConstants,

@@ -50,9 +50,11 @@ def direct_light(
       clean:  ``p * (direct + ambient)``.
 
     occlusion_fn: optional override of the shadow test with signature
-      (light_position (3,), r_dir (R, 3), r (R,)) -> occluded (R,) bool.
+      (light_position (3,), delta (R, 3), r (R,)) -> occluded (R,) bool,
+      where delta = hit_pos - light_position (the unnormalized shadow-ray
+      direction; an intersection at ray parameter t < 0.99 occludes).
       Default traces the full scene; the model-sharded path supplies a
-      triangle-block tracer merged with a pmin collective
+      triangle-block tracer merged over the model axis
       (raytpu.parallel.render).
     """
     samples = cfg.soft_shadow_samples
@@ -85,13 +87,19 @@ def direct_light(
 
             # Shadow ray from the light toward the surface (`:307-315`).
             if occlusion_fn is None:
-                sh = intersect_scene(position, -r_dir, scene,
+                # Trace with the UNNORMALIZED direction delta = pos - light:
+                # the hit tests are scale-invariant in the direction and the
+                # ray parameter becomes a fraction of the light distance, so
+                # the reference's `distance < 0.99 * r` occlusion test
+                # (`raytracer.cpp:310-315`) is simply t < 0.99 — no per-ray
+                # normalization and a constant threshold. The fused Pallas
+                # kernel computes the identical test in-kernel.
+                sh = intersect_scene(position, delta, scene,
                                      tri_chunk=cfg.tri_chunk,
                                      use_pallas=cfg.pallas_enabled)
-                # r_dir is unit length, so t is the Euclidean distance.
-                occluded = sh.hit & (sh.t < r * jnp.float32(0.99))
+                occluded = sh.hit & (sh.t < jnp.float32(0.99))
             else:
-                occluded = occlusion_fn(position, r_dir, r)
+                occluded = occlusion_fn(position, delta, r)
             D = jnp.where(occluded[:, None], 0.0, D)
             light_sum = light_sum + D
 

@@ -122,8 +122,10 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
     pos = camera.pos[None, :] + t_safe[:, None] * dirs
     idx_safe = jnp.maximum(idx, 0)
 
-    def occlusion_fn(light_pos, r_dir, r):
-        sh = intersect(-r_dir, tri_constants(block, light_pos),
+    def occlusion_fn(light_pos, delta, r):
+        # Unnormalized shadow direction: ray parameter is a fraction of the
+        # light distance, so occlusion is t < 0.99 (see ops/shade.py).
+        sh = intersect(delta, tri_constants(block, light_pos),
                        tri_chunk=cfg.tri_chunk,
                        use_pallas=cfg.pallas_enabled)
         d_local = jnp.where(sh.hit, sh.t, _F32MAX)
@@ -131,7 +133,7 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
         # differentiation rule, and this sits inside the training step's
         # backward even though the boolean result carries no gradient.
         d_min = jnp.min(jax.lax.all_gather(d_local, MODEL_AXIS), axis=0)
-        return d_min < r * jnp.float32(0.99)
+        return d_min < jnp.float32(0.99)
 
     direct = direct_light(pos, idx_safe, scene, lights, cfg,
                           occlusion_fn=occlusion_fn)

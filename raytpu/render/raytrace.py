@@ -93,6 +93,22 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     n_sub = len(offsets)  # total sub-rays = AA_SAMPLES^2 (`raytracer.cpp:599`)
     parity_record = cfg.mode == "parity" and n_sub > 1
 
+    # Fused Pallas fast path (single light, hard shadows): primary
+    # closest-hit AND the shadow occlusion bit come from ONE kernel launch
+    # (raytpu.kernels.intersect_pallas.closest_hit_occluded). Excluded for
+    # parity_record: there each sub-ray shades the RECORD's (possibly
+    # stale) hit, whose position differs from this sub-ray's own hit.
+    fused = (
+        cfg.pallas_enabled
+        and lights.capacity == 1
+        and cfg.soft_shadow_samples == 1
+        and not parity_record
+    )
+    if fused:
+        from raytpu.kernels.intersect_pallas import intersect_occluded_pallas
+
+        consts_light = tri_constants(scene, lights.position[0])
+
     accum = jnp.zeros((xs.shape[0], 3), jnp.float32)
     # Closest Euclidean distance per pixel across sub-rays (the reference's
     # persistent intersection record, `raytracer.cpp:580`); feeds DoF.
@@ -102,8 +118,16 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
-        hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk,
-                         use_pallas=cfg.pallas_enabled)
+        if fused:
+            hits, occluded = intersect_occluded_pallas(
+                dirs, consts, consts_light, camera.pos,
+                lights.position[0], tri_chunk=cfg.tri_chunk,
+            )
+            occlusion_fn = lambda _pos, _delta, _r: occluded  # noqa: E731
+        else:
+            hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk,
+                             use_pallas=cfg.pallas_enabled)
+            occlusion_fn = None
         dist = hit_distances(dirs, hits)
 
         # Merge into the running record (`>=` update semantics, `:243`).
@@ -131,7 +155,7 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
             n_dir = None
             albedo = scene.color[shade_idx]
         direct = direct_light(pos, shade_idx, scene, lights, cfg,
-                              n_dir=n_dir)
+                              n_dir=n_dir, occlusion_fn=occlusion_fn)
         color = composite(direct, albedo, hits.hit, cfg)
         # Reference adds a sample only when the sub-ray itself hit
         # (`raytracer.cpp:580-591`).

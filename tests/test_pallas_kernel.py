@@ -72,6 +72,55 @@ def test_vjp_matches_jnp():
     )
 
 
+def test_fused_occlusion_matches_separate():
+    """closest_hit_occluded == (closest_hit, jnp shadow test) — the fused
+    two-phase kernel must agree with the separate path on t, idx, AND the
+    occlusion bit."""
+    from raytpu.kernels.intersect_pallas import intersect_occluded_pallas
+    from raytpu.ops.intersect import hit_positions, intersect_scene
+
+    scene, cam, dirs, consts = _dirs_and_consts()
+    lights = Lights.single(capacity=1)
+    lpos = lights.position[0]
+    consts_l = tri_constants(scene, lpos)
+
+    hits_f, occ_f = intersect_occluded_pallas(
+        dirs, consts, consts_l, cam.pos, lpos
+    )
+    hits_j = intersect(dirs, consts)
+    pos = hit_positions(cam.pos, dirs, hits_j)
+    delta = pos - lpos[None, :]
+    sh = intersect_scene(lpos, delta, scene)
+    occ_j = np.asarray(sh.hit & (sh.t < 0.99))
+
+    np.testing.assert_array_equal(np.asarray(hits_j.idx),
+                                  np.asarray(hits_f.idx))
+    np.testing.assert_allclose(np.asarray(hits_j.t),
+                               np.asarray(hits_f.t), rtol=5e-7)
+    occ_f = np.asarray(occ_f)
+    # Interpret-mode FMA contraction can flip an occlusion bit only when
+    # an occluder sits at exactly 99% of the light distance — none in the
+    # Cornell box; require exact agreement.
+    np.testing.assert_array_equal(occ_j, occ_f)
+    assert occ_j.any() and not occ_j.all()  # shadows present, not trivial
+
+
+def test_fused_render_matches_unfused():
+    """raytrace_full's fused fast path == the separate-kernels render."""
+    scene = cornell_box()
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=1)
+    cfg_f = RenderConfig(width=32, height=32, mode="clean", use_pallas=True)
+    # capacity=2 disables the fused path but shades identically with one
+    # active light in clean mode.
+    lights2 = Lights.single(capacity=2)
+    img_f = raytrace_full(scene, cam, lights, cfg_f).image
+    img_s = raytrace_full(scene, cam, lights2, cfg_f).image
+    np.testing.assert_allclose(
+        np.asarray(img_f), np.asarray(img_s), atol=1e-6
+    )
+
+
 def test_full_render_image_identical():
     scene = cornell_box()
     cam = Camera.raytracer_default()
