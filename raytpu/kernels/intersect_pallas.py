@@ -448,6 +448,220 @@ def _fused_bwd(tile_r, tri_chunk, res, cts):
 closest_hit_occluded.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _fused_multi_kernel(dirs_ref, blk_ref, cam_ref, light_ref,
+                        t_ref, idx_ref, occ_ref,
+                        best_t_ref, best_idx_ref, pos_ref, *,
+                        tri_chunk: int, n_chunks: int, n_src: int):
+    """Fused primary closest-hit + S-source shadow occlusion.
+
+    Generalizes _fused_kernel to S shadow sources (multi-light and/or
+    jittered soft-shadow sample positions, `raytracer.cpp:272-315`): the
+    grid chunk axis c runs [0, (1+S)*n_chunks); source s owns chunk steps
+    [ (1+s)*n_chunks, (2+s)*n_chunks ). The light-position INPUT is routed
+    per source by its block index map (8-row-strided blocks — the TPU
+    sublane-dim block constraint is 8 rows); the occlusion OUTPUT is one
+    full-height (S, TILE_R) block resident across all chunk steps, updated
+    with a one-hot row mask (dynamic sublane stores are not supported).
+
+    cam_ref:   (8, 128) camera position at [0:3, 0] (same block all steps).
+    light_ref: (8, 128) THIS source's block; position at [0, 0:3].
+    occ_ref:   (S, TILE_R) int32 — row s is source s's occlusion bit;
+               zeroed at the phase boundary, max-accumulated per chunk.
+    pos_ref:   (3, TILE_R) scratch — primary hit positions, written once at
+               the phase boundary (c == n_chunks) and reused by every
+               source (the whole point of the fusion: the S shadow passes
+               share the primary result without touching HBM).
+    """
+    c = pl.program_id(1)
+    C = tri_chunk
+
+    @pl.when(c == 0)
+    def _():
+        best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
+        best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
+
+    @pl.when(c < n_chunks)
+    def _primary():
+        dirs = dirs_ref[:, :]
+        t, ok = _chunk_tuv(blk_ref, C, dirs[0:1, :], dirs[1:2, :],
+                           dirs[2:3, :])
+        tm = jnp.where(ok, t, _F32MAX)
+        chunk_min = jnp.min(tm, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+        # Last triangle wins ties (`raytracer.cpp:243` >= update).
+        chunk_idx = jnp.max(
+            jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
+        ) + c * C
+        best_t = best_t_ref[:, :]
+        upd = chunk_min <= best_t
+        best_t_ref[:, :] = jnp.where(upd, chunk_min, best_t)
+        best_idx_ref[:, :] = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+
+    @pl.when(c == n_chunks)
+    def _boundary():
+        dirs = dirs_ref[:, :]
+        best_t = best_t_ref[:, :]
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx_ref[:, :], -1)
+        tz = jnp.where(best_t < _F32MAX, best_t, 0.0)
+        # Same op order as the XLA path: pos = cam + t*d.
+        for i in range(3):
+            cam_i = cam_ref[i : i + 1, 0:1]
+            pos_ref[i : i + 1, :] = cam_i + tz * dirs[i : i + 1, :]
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    @pl.when(c >= n_chunks)
+    def _shadow():
+        # UNNORMALIZED shadow direction d2 = pos - light: the reference's
+        # `distance < 0.99 r` occlusion test (`raytracer.cpp:310-315`)
+        # becomes the constant threshold t < 0.99 (see ops/shade.py).
+        d2x = pos_ref[0:1, :] - light_ref[0:1, 0:1]
+        d2y = pos_ref[1:2, :] - light_ref[0:1, 1:2]
+        d2z = pos_ref[2:3, :] - light_ref[0:1, 2:3]
+        t, ok = _chunk_tuv(blk_ref, C, d2x, d2y, d2z)
+        occ = ok & (t < 0.99)
+        any_occ = jnp.max(
+            jnp.where(occ, 1, 0), axis=0, keepdims=True
+        ).astype(jnp.int32)  # (1, TILE_R)
+        s = c // n_chunks - 1
+        src_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (n_src, any_occ.shape[1]), dimension=0
+        )
+        occ_ref[:, :] = jnp.where(
+            src_rows == s,
+            jnp.maximum(occ_ref[:, :], any_occ),
+            occ_ref[:, :],
+        )
+
+
+def _fused_multi_raw(dirs_t, m, k0, valid, m_s, k0_s, cam_pos, src_pos, *,
+                     tile_r: int, tri_chunk: int):
+    """dirs_t: (3, R); m_s (S, T, 3, 3); k0_s (S, T); src_pos (S, 3).
+    Returns (t (R,), idx (R,), occ (S, R) int32)."""
+    R = dirs_t.shape[1]
+    S = m_s.shape[0]
+    if R % tile_r != 0:
+        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
+    chunk = _tight_chunk(m.shape[0], tri_chunk)
+    blk, n_chunks = _blocked_constants(m, k0, valid, chunk)
+    blocks = [blk]
+    for s in range(S):
+        blk_s, _ = _blocked_constants(m_s[s], k0_s[s], valid, chunk)
+        blocks.append(blk_s)
+    blocked = jnp.concatenate(blocks, axis=0)
+    cam = jnp.zeros((8, 128), jnp.float32).at[0:3, 0].set(cam_pos)
+    # 8-row-strided light blocks (TPU block sublane dim must be 8-divisible
+    # or full): source s's position lives at row 8*s, read as block s.
+    lights = jnp.zeros((S * 8, 128), jnp.float32).at[::8, 0:3].set(src_pos)
+
+    def src_row(i, c):
+        del i
+        return jnp.maximum(c // n_chunks - 1, 0)
+
+    grid = (R // tile_r, (1 + S) * n_chunks)  # chunk/source axis fastest
+    kernel = functools.partial(_fused_multi_kernel, tri_chunk=chunk,
+                               n_chunks=n_chunks, n_src=S)
+    t, idx, occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, c: (src_row(i, c), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((S, R), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+            pltpu.VMEM((3, tile_r), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(dirs_t, blocked, cam, lights)
+    return t[0], idx[0], occ
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def closest_hit_occluded_multi(dirs, m, k0, valid, m_s, k0_s, cam_pos,
+                               src_pos, tile_r=2048, tri_chunk=512):
+    """Differentiable fused closest hit + S-source shadow occlusion.
+
+    One kernel launch covering every (light, soft-shadow sample) shadow
+    source — the reference's per-sample shadow trace `raytracer.cpp:307-315`
+    for all samples at once. Returns (t (R,), idx (R,), occ (S, R) int32).
+    t carries the analytic closest_hit VJP; idx and occ are piecewise
+    constant (zero gradient a.e.).
+    """
+    return _fused_multi_raw(dirs.T, m, k0, valid, m_s, k0_s, cam_pos,
+                            src_pos, tile_r=tile_r, tri_chunk=tri_chunk)
+
+
+def _fused_multi_fwd(dirs, m, k0, valid, m_s, k0_s, cam_pos, src_pos,
+                     tile_r, tri_chunk):
+    t, idx, occ = closest_hit_occluded_multi(
+        dirs, m, k0, valid, m_s, k0_s, cam_pos, src_pos, tile_r, tri_chunk
+    )
+    return (t, idx, occ), (dirs, m, k0, t, idx)
+
+
+def _fused_multi_bwd(tile_r, tri_chunk, res, cts):
+    t_bar = cts[0]
+    g_dirs, g_m, g_k0, _ = _bwd(tile_r, tri_chunk, res, (t_bar, None))
+    return g_dirs, g_m, g_k0, None, None, None, None, None
+
+
+closest_hit_occluded_multi.defvjp(_fused_multi_fwd, _fused_multi_bwd)
+
+
+def intersect_occluded_multi_pallas(
+    dirs: jax.Array, consts: TriConstants, consts_src: TriConstants,
+    cam_pos: jax.Array, src_pos: jax.Array,
+    tile_r: int = 2048, tri_chunk: int = 512,
+) -> tuple[Hits, jax.Array]:
+    """Fused primary intersect + occlusion toward S shadow sources.
+
+    consts_src: TriConstants with batched leaves — m (S, T, 3, 3),
+    k0 (S, T) from ``jax.vmap(lambda o: tri_constants(scene, o))(src_pos)``.
+    Returns (Hits, occluded (S, R) bool). Pads the ray count internally.
+    """
+    R = dirs.shape[0]
+    pad = (-R) % tile_r
+    if pad:
+        dirs_p = jnp.concatenate(
+            [dirs, jnp.ones((pad, 3), dirs.dtype)], axis=0
+        )
+    else:
+        dirs_p = dirs
+    t, idx, occ = closest_hit_occluded_multi(
+        dirs_p, consts.m, consts.k0, consts.valid,
+        consts_src.m, consts_src.k0, cam_pos, src_pos,
+        tile_r, tri_chunk,
+    )
+    t = t[:R]
+    idx = idx[:R]
+    hit = t < _F32MAX
+    return (
+        Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
+        occ[:, :R].astype(bool),
+    )
+
+
 def intersect_occluded_pallas(
     dirs: jax.Array, consts: TriConstants, consts_light: TriConstants,
     cam_pos: jax.Array, light_pos: jax.Array,

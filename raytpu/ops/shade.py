@@ -37,6 +37,7 @@ def direct_light(
     cfg: RenderConfig,
     occlusion_fn=None,
     n_dir: jax.Array | None = None,
+    occlusion_rows: jax.Array | None = None,
 ) -> jax.Array:
     """Direct-light irradiance term ("result2") per ray, before albedo.
 
@@ -56,6 +57,11 @@ def direct_light(
       Default traces the full scene; the model-sharded path supplies a
       triangle-block tracer merged over the model axis
       (raytpu.parallel.render).
+    occlusion_rows: optional (capacity * samples, R) precomputed occlusion
+      bits in (light-major, sample-minor) source order — the output of the
+      fused multi-source Pallas kernel
+      (raytpu.kernels.intersect_pallas.closest_hit_occluded_multi).
+      Takes precedence over occlusion_fn.
     """
     samples = cfg.soft_shadow_samples
     if n_dir is None:
@@ -86,7 +92,9 @@ def direct_light(
             D = B * lam[:, None]
 
             # Shadow ray from the light toward the surface (`:307-315`).
-            if occlusion_fn is None:
+            if occlusion_rows is not None:
+                occluded = occlusion_rows[k * samples + s]
+            elif occlusion_fn is None:
                 # Trace with the UNNORMALIZED direction delta = pos - light:
                 # the hit tests are scale-invariant in the direction and the
                 # ray parameter becomes a fraction of the light distance, so

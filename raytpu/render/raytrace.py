@@ -104,10 +104,30 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
         and cfg.soft_shadow_samples == 1
         and not parity_record
     )
+    # Multi-source fused path (multi-light and/or soft shadows): ONE kernel
+    # launch per sub-ray produces the primary hit AND the occlusion bit of
+    # every (light, jitter-sample) shadow source — instead of 1 + L*S
+    # separate intersection launches (closest_hit_occluded_multi).
+    fused_multi = (
+        cfg.pallas_enabled and not fused and not parity_record
+    )
     if fused:
         from raytpu.kernels.intersect_pallas import intersect_occluded_pallas
 
         consts_light = tri_constants(scene, lights.position[0])
+    if fused_multi:
+        from raytpu.kernels.intersect_pallas import (
+            intersect_occluded_multi_pallas,
+        )
+
+        n_s = cfg.soft_shadow_samples
+        if n_s > 1:
+            # Source order is (light-major, sample-minor) — must match the
+            # shading loop in ops/shade.py::direct_light.
+            src_pos = lights.jitter[:, :n_s].reshape(-1, 3)
+        else:
+            src_pos = lights.position
+        consts_src = jax.vmap(lambda o: tri_constants(scene, o))(src_pos)
 
     accum = jnp.zeros((xs.shape[0], 3), jnp.float32)
     # Closest Euclidean distance per pixel across sub-rays (the reference's
@@ -118,16 +138,22 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
+        occlusion_fn = None
+        occlusion_rows = None
         if fused:
             hits, occluded = intersect_occluded_pallas(
                 dirs, consts, consts_light, camera.pos,
                 lights.position[0], tri_chunk=cfg.tri_chunk,
             )
             occlusion_fn = lambda _pos, _delta, _r: occluded  # noqa: E731
+        elif fused_multi:
+            hits, occlusion_rows = intersect_occluded_multi_pallas(
+                dirs, consts, consts_src, camera.pos, src_pos,
+                tri_chunk=cfg.tri_chunk,
+            )
         else:
             hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk,
                              use_pallas=cfg.pallas_enabled)
-            occlusion_fn = None
         dist = hit_distances(dirs, hits)
 
         # Merge into the running record (`>=` update semantics, `:243`).
@@ -155,7 +181,8 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
             n_dir = None
             albedo = scene.color[shade_idx]
         direct = direct_light(pos, shade_idx, scene, lights, cfg,
-                              n_dir=n_dir, occlusion_fn=occlusion_fn)
+                              n_dir=n_dir, occlusion_fn=occlusion_fn,
+                              occlusion_rows=occlusion_rows)
         color = composite(direct, albedo, hits.hit, cfg)
         # Reference adds a sample only when the sub-ray itself hit
         # (`raytracer.cpp:580-591`).

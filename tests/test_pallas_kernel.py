@@ -121,6 +121,86 @@ def test_fused_render_matches_unfused():
     )
 
 
+def test_fused_multi_occlusion_matches_separate():
+    """closest_hit_occluded_multi: t/idx match the plain closest hit and
+    every source's occlusion row matches a separate jnp shadow trace."""
+    from raytpu.kernels.intersect_pallas import (
+        intersect_occluded_multi_pallas,
+    )
+    from raytpu.ops.intersect import hit_positions, intersect_scene
+
+    scene, cam, dirs, consts = _dirs_and_consts()
+    lights = Lights.single(capacity=2, soft_samples=4).add(
+        (0.4, 0.4, -0.6), (1.0, 0.8, 0.6), 8.0, key=jax.random.PRNGKey(7)
+    )
+    n_s = 4
+    src_pos = lights.jitter[:, :n_s].reshape(-1, 3)  # (8, 3)
+    consts_src = jax.vmap(lambda o: tri_constants(scene, o))(src_pos)
+
+    hits_f, occ_f = intersect_occluded_multi_pallas(
+        dirs, consts, consts_src, cam.pos, src_pos
+    )
+    hits_j = intersect(dirs, consts)
+    np.testing.assert_array_equal(np.asarray(hits_j.idx),
+                                  np.asarray(hits_f.idx))
+    np.testing.assert_allclose(np.asarray(hits_j.t),
+                               np.asarray(hits_f.t), rtol=5e-7)
+
+    pos = hit_positions(cam.pos, dirs, hits_j)
+    occ_f = np.asarray(occ_f)
+    assert occ_f.shape == (8, dirs.shape[0])
+    for s in range(src_pos.shape[0]):
+        delta = pos - src_pos[s][None, :]
+        sh = intersect_scene(src_pos[s], delta, scene)
+        occ_j = np.asarray(sh.hit & (sh.t < 0.99))
+        np.testing.assert_array_equal(occ_j, occ_f[s], err_msg=f"src {s}")
+    assert occ_f.any() and not occ_f.all()
+
+
+def test_fused_multi_render_matches_unfused():
+    """Soft-shadow + multi-light render: the fused multi-source path must
+    match the separate-launch jnp path."""
+    scene = cornell_box()
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=2, soft_samples=4).add(
+        (0.4, 0.4, -0.6), (1.0, 0.8, 0.6), 8.0, key=jax.random.PRNGKey(7)
+    )
+    for cfg_kw in (
+        dict(soft_shadow_samples=4),          # soft shadows, multi-light
+        dict(),                               # hard shadows, multi-light
+    ):
+        cfg_p = RenderConfig(width=24, height=24, mode="clean",
+                             use_pallas=True, **cfg_kw)
+        cfg_j = dataclasses.replace(cfg_p, use_pallas=False)
+        img_p = raytrace_full(scene, cam, lights, cfg_p).image
+        img_j = raytrace_full(scene, cam, lights, cfg_j).image
+        np.testing.assert_allclose(
+            np.asarray(img_j), np.asarray(img_p), atol=1e-6,
+            err_msg=str(cfg_kw),
+        )
+
+
+def test_fused_multi_vjp_matches_jnp():
+    """Gradients through the multi-source fused path (soft shadows)."""
+    scene, cam, _, _ = _dirs_and_consts()
+    lights = Lights.single(capacity=1, soft_samples=4)
+    w = jnp.asarray(
+        np.random.default_rng(1).normal(size=(16, 16, 3)), jnp.float32
+    )
+
+    def loss(v0, use_pallas):
+        s2 = dataclasses.replace(scene, v0=v0)
+        cfg = RenderConfig(width=16, height=16, mode="clean",
+                           soft_shadow_samples=4, use_pallas=use_pallas)
+        return jnp.sum(raytrace_full(s2, cam, lights, cfg).image * w)
+
+    g_j = jax.grad(lambda v: loss(v, False))(scene.v0)
+    g_p = jax.grad(lambda v: loss(v, True))(scene.v0)
+    np.testing.assert_allclose(
+        np.asarray(g_j), np.asarray(g_p), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_full_render_image_identical():
     scene = cornell_box()
     cam = Camera.raytracer_default()
