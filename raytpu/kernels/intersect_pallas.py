@@ -662,6 +662,101 @@ def intersect_occluded_multi_pallas(
     )
 
 
+def _occlusion_multi_kernel(pos_ref, blk_ref, light_ref, occ_ref, *,
+                            tri_chunk: int, n_chunks: int, n_src: int):
+    """Shadow-only multi-source occlusion (no primary phase).
+
+    For sharded rendering the primary closest hit must be merged ACROSS
+    devices before shadow rays exist (the hit position is global state),
+    so the single-launch fused kernel doesn't apply; this kernel runs the
+    S per-source shadow sweeps against the local triangle block given
+    precomputed surface positions. Grid chunk axis c in [0, S*n_chunks);
+    source s = c // n_chunks. Same block-index-map routing and one-hot
+    row accumulation as _fused_multi_kernel.
+    """
+    c = pl.program_id(1)
+    C = tri_chunk
+
+    @pl.when(c == 0)
+    def _():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    d2x = pos_ref[0:1, :] - light_ref[0:1, 0:1]
+    d2y = pos_ref[1:2, :] - light_ref[0:1, 1:2]
+    d2z = pos_ref[2:3, :] - light_ref[0:1, 2:3]
+    t, ok = _chunk_tuv(blk_ref, C, d2x, d2y, d2z)
+    occ = ok & (t < 0.99)
+    any_occ = jnp.max(
+        jnp.where(occ, 1, 0), axis=0, keepdims=True
+    ).astype(jnp.int32)
+    s = c // n_chunks
+    src_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (n_src, any_occ.shape[1]), dimension=0
+    )
+    occ_ref[:, :] = jnp.where(
+        src_rows == s,
+        jnp.maximum(occ_ref[:, :], any_occ),
+        occ_ref[:, :],
+    )
+
+
+def occlusion_multi_pallas(
+    pos: jax.Array, consts_src: TriConstants, src_pos: jax.Array,
+    valid: jax.Array, tile_r: int = 2048, tri_chunk: int = 512,
+) -> jax.Array:
+    """Occlusion of S shadow sources toward precomputed surface positions.
+
+    pos: (R, 3) surface points; consts_src: batched TriConstants
+    (m (S, T, 3, 3), k0 (S, T)); src_pos: (S, 3); valid: (T,).
+    Returns occluded (S, R) bool. Non-differentiable (occlusion is
+    piecewise-constant); inputs are gradient-stopped.
+    """
+    pos = jax.lax.stop_gradient(pos)
+    m_s = jax.lax.stop_gradient(consts_src.m)
+    k0_s = jax.lax.stop_gradient(consts_src.k0)
+    src_pos = jax.lax.stop_gradient(src_pos)
+    valid = jax.lax.stop_gradient(valid)
+
+    R = pos.shape[0]
+    S = m_s.shape[0]
+    pad = (-R) % tile_r
+    pos_t = pos.T
+    if pad:
+        pos_t = jnp.concatenate(
+            [pos_t, jnp.zeros((3, pad), pos.dtype)], axis=1
+        )
+    Rp = R + pad
+    T = m_s.shape[1]
+    chunk = _tight_chunk(T, tri_chunk)
+    blocks = []
+    for s in range(S):
+        blk_s, n_chunks = _blocked_constants(m_s[s], k0_s[s], valid, chunk)
+        blocks.append(blk_s)
+    blocked = jnp.concatenate(blocks, axis=0)
+    lights = jnp.zeros((S * 8, 128), jnp.float32).at[::8, 0:3].set(src_pos)
+
+    grid = (Rp // tile_r, S * n_chunks)
+    kernel = functools.partial(_occlusion_multi_kernel, tri_chunk=chunk,
+                               n_chunks=n_chunks, n_src=S)
+    occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, c: (c // n_chunks, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, tile_r), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Rp), jnp.int32),
+        interpret=_interpret_mode(),
+    )(pos_t, blocked, lights)
+    return occ[:, :R].astype(bool)
+
+
 def intersect_occluded_pallas(
     dirs: jax.Array, consts: TriConstants, consts_light: TriConstants,
     cam_pos: jax.Array, light_pos: jax.Array,

@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from raytpu.core.types import Camera, Lights, RenderConfig, Scene
-from raytpu.ops.intersect import intersect, tri_constants
+from raytpu.ops.intersect import TriConstants, intersect, tri_constants
 from raytpu.ops.shade import composite, direct_light
 from raytpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -102,43 +102,95 @@ def _block_grid(cfg: RenderConfig, y0, rows: int):
     return xs.reshape(-1), ys.reshape(-1)
 
 
+def _shadow_sources(lights: Lights, cfg: RenderConfig) -> jax.Array:
+    """All shadow-source positions, (capacity * samples, 3), in the
+    (light-major, sample-minor) order ops/shade.py::direct_light expects."""
+    n_s = cfg.soft_shadow_samples
+    if n_s > 1:
+        return lights.jitter[:, :n_s].reshape(-1, 3)
+    return lights.position
+
+
+def _merged_occlusion_rows(pos, block: Scene, src_pos, cfg: RenderConfig,
+                           axis_name: str) -> jax.Array:
+    """(S, R) occlusion bits against the FULL scene from per-shard blocks.
+
+    Each device any-hit-tests its triangle block for every shadow source
+    (one multi-source Pallas launch on TPU; per-source jnp sweeps
+    elsewhere), then the global bit is the any-reduce over the model axis
+    (all_gather + max — pmax has no JAX differentiation rule and this
+    sits inside the training step's backward even though the boolean
+    carries no gradient).
+    """
+    consts_src = jax.vmap(lambda o: tri_constants(block, o))(src_pos)
+    if cfg.pallas_enabled:
+        from raytpu.kernels.intersect_pallas import occlusion_multi_pallas
+
+        occ_local = occlusion_multi_pallas(
+            pos, consts_src, src_pos, block.active,
+            tri_chunk=cfg.tri_chunk,
+        )
+    else:
+        rows = []
+        for s in range(src_pos.shape[0]):
+            delta = pos - src_pos[s][None, :]
+            sh = intersect(
+                delta,
+                TriConstants(m=consts_src.m[s], k0=consts_src.k0[s],
+                             valid=block.active),
+                tri_chunk=cfg.tri_chunk, use_pallas=False,
+            )
+            rows.append(sh.hit & (sh.t < jnp.float32(0.99)))
+        occ_local = jnp.stack(rows, axis=0)
+    gathered = jax.lax.all_gather(
+        occ_local.astype(jnp.int32), axis_name
+    )  # (nm, S, R)
+    return jnp.max(gathered, axis=0) > 0
+
+
 def render_block(scene: Scene, camera: Camera, lights: Lights,
                  cfg: RenderConfig, y0, rows: int) -> jax.Array:
     """Render a row block inside shard_map (data+model sharded).
 
-    Single primary sample (no AA axis in the sharded step yet), hard
-    shadows, no DoF. Returns (rows * W, 3).
+    Full feature set of the single-chip path in 'clean'/'parity'
+    (non-AA-record) semantics: AA sub-rays, soft shadows, multi-light —
+    shadow occlusion for every (light, sample) source is computed against
+    the local triangle block in one fused launch and any-merged over the
+    model axis. DoF is applied by the caller (dof_block halo exchange).
+    Returns (rows * W, 3).
     """
-    from raytpu.render.raytrace import camera_ray_dirs
+    from raytpu.render.raytrace import _subpixel_offsets, camera_ray_dirs
 
     xs, ys = _block_grid(cfg, y0, rows)
-    dirs = camera_ray_dirs(xs, ys, camera, cfg)
     block, base = _scene_block(scene, MODEL_AXIS)
+    src_pos = _shadow_sources(lights, cfg)
 
-    t, idx, hit = _merged_intersect(
-        camera.pos, dirs, block, base, cfg, MODEL_AXIS
-    )
-    t_safe = jnp.where(hit, t, 0.0)
-    pos = camera.pos[None, :] + t_safe[:, None] * dirs
-    idx_safe = jnp.maximum(idx, 0)
+    offsets = _subpixel_offsets(cfg)
+    accum = jnp.zeros((xs.shape[0], 3), jnp.float32)
+    rec_dist = jnp.full(xs.shape, _F32MAX, jnp.float32)
+    for dx, dy in offsets:
+        dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
+        t, idx, hit = _merged_intersect(
+            camera.pos, dirs, block, base, cfg, MODEL_AXIS
+        )
+        t_safe = jnp.where(hit, t, 0.0)
+        pos = camera.pos[None, :] + t_safe[:, None] * dirs
+        idx_safe = jnp.maximum(idx, 0)
 
-    def occlusion_fn(light_pos, delta, r):
-        # Unnormalized shadow direction: ray parameter is a fraction of the
-        # light distance, so occlusion is t < 0.99 (see ops/shade.py).
-        sh = intersect(delta, tri_constants(block, light_pos),
-                       tri_chunk=cfg.tri_chunk,
-                       use_pallas=cfg.pallas_enabled)
-        d_local = jnp.where(sh.hit, sh.t, _F32MAX)
-        # all_gather + local min rather than lax.pmin: pmin has no JAX
-        # differentiation rule, and this sits inside the training step's
-        # backward even though the boolean result carries no gradient.
-        d_min = jnp.min(jax.lax.all_gather(d_local, MODEL_AXIS), axis=0)
-        return d_min < jnp.float32(0.99)
+        # Closest Euclidean distance record across sub-rays (feeds DoF,
+        # `raytracer.cpp:242,249`).
+        dist = jnp.where(hit, t_safe * jnp.linalg.norm(dirs, axis=-1),
+                         _F32MAX)
+        rec_dist = jnp.minimum(rec_dist, dist)
 
-    direct = direct_light(pos, idx_safe, scene, lights, cfg,
-                          occlusion_fn=occlusion_fn)
-    albedo = scene.color[idx_safe]
-    return composite(direct, albedo, hit, cfg)
+        occ_rows = _merged_occlusion_rows(pos, block, src_pos, cfg,
+                                          MODEL_AXIS)
+        direct = direct_light(pos, idx_safe, scene, lights, cfg,
+                              occlusion_rows=occ_rows)
+        albedo = scene.color[idx_safe]
+        accum = accum + composite(direct, albedo, hit, cfg)
+    fd = jnp.where(rec_dist < _F32MAX, rec_dist - camera.dof_focus, 0.0)
+    return accum / jnp.float32(len(offsets)), fd
 
 
 class TrainState(NamedTuple):
@@ -158,9 +210,58 @@ def _resolve_pallas_for_mesh(mesh, cfg: RenderConfig) -> RenderConfig:
     return cfg
 
 
-def make_sharded_render(mesh, cfg: RenderConfig):
+def dof_block(img_block, fd_block, cfg: RenderConfig, global_h: int, y0,
+              axis_name: str = DATA_AXIS):
+    """Clean DoF blur on a row-sharded image via ICI halo exchange.
+
+    The 8x8 window (rows [-K/2, K/2-1] around each pixel, ops/blur.py)
+    needs K/2 rows from the previous row shard and K/2-1 from the next:
+    exchanged with two `ppermute`s. Non-participating edges of a
+    non-cyclic ppermute receive ZEROS — exactly dof_blur's zero padding,
+    so shard boundaries blur identically to the single-device path.
+    img_block: (rows, W, 3); fd_block: (rows, W). The center-pixel weights
+    depend only on LOCAL focal distances — no fd halo needed.
+    """
+    if not cfg.dof_enabled:
+        return img_block
+    from raytpu.ops.blur import _interior_mask, _weights
+
+    k = cfg.dof_kernel_size
+    lo = k // 2          # rows needed from the previous shard
+    hi = k - lo - 1      # rows needed from the next shard
+    rows, w, _ = img_block.shape
+    if rows < max(lo, hi):
+        raise ValueError(
+            f"row shard of {rows} smaller than the DoF halo {max(lo, hi)}"
+        )
+    n = jax.lax.axis_size(axis_name)
+
+    down = [(j, j + 1) for j in range(n - 1)]  # shard j -> j+1
+    up = [(j + 1, j) for j in range(n - 1)]    # shard j+1 -> j
+    top_halo = jax.lax.ppermute(img_block[-lo:], axis_name, down)
+    bot_halo = jax.lax.ppermute(img_block[:hi], axis_name, up)
+    ext = jnp.concatenate([top_halo, img_block, bot_halo], axis=0)
+
+    box = jax.lax.reduce_window(
+        ext, 0.0, jax.lax.add,
+        window_dimensions=(k, k, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (lo, hi), (0, 0)),
+    )  # (rows, W, 3)
+    w_center, w_other = _weights(fd_block, k)
+    out = w_center[..., None] * img_block + w_other[..., None] * (
+        box - img_block
+    )
+    # Global 1-px border blanking (`raytracer.cpp:618-620`): rebuild the
+    # full-image interior mask rows for this shard.
+    full = _interior_mask(global_h, w)
+    mask = jax.lax.dynamic_slice_in_dim(full, y0, rows, axis=0)
+    return out * mask[..., None]
+
+
+def make_sharded_render(mesh, cfg: RenderConfig, with_dof: bool = True):
     """jit-compiled sharded forward render: returns (H, W, 3) image sharded
-    row-wise over the data axis."""
+    row-wise over the data axis. Supports the full clean feature set (AA,
+    soft shadows, multi-light, DoF-with-halo-exchange)."""
     cfg = _resolve_pallas_for_mesh(mesh, cfg)
     nd = mesh.shape[DATA_AXIS]
     if cfg.height % nd != 0:
@@ -169,7 +270,118 @@ def make_sharded_render(mesh, cfg: RenderConfig):
 
     def _block(scene, camera, lights):
         di = jax.lax.axis_index(DATA_AXIS)
-        color = render_block(scene, camera, lights, cfg, di * rows, rows)
+        color, fd = render_block(scene, camera, lights, cfg,
+                                 di * rows, rows)
+        img = color.reshape(rows, cfg.width, 3)
+        if with_dof and cfg.dof_enabled:
+            fd = fd.reshape(rows, cfg.width)
+            img = dof_block(img, fd, cfg, cfg.height, di * rows)
+        return img
+
+    smapped = shard_map(
+        _block,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def raster_block(scene: Scene, camera: Camera, lights: Lights,
+                 cfg: RenderConfig, y0, rows: int) -> jax.Array:
+    """Rasterize a row block inside shard_map (data+model sharded).
+
+    'clean'-mode (float-precise) rasterization: pixels are sharded over
+    'data' rows; the O(pixels x triangles) winner resolve runs on each
+    device's triangle block only, and the global winner is the max-zinv
+    merge over the model axis with the reference's first-triangle-wins
+    tie rule (strict > z-test, `rasteriser.cpp:606`). The O(T) vertex
+    stage and the winner shading use the replicated scene.
+    Returns (rows * W, 3).
+    """
+    from raytpu.render.soft import _screen_vertices, _shade_winner
+
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
+    keep = scene.active  # rasterize_exact semantics: culling is a
+    # correctness-neutral optimization (SURVEY §2 Z5/Z6) and the
+    # reference's frustum matrix assumes focal ~ resolution; the exact
+    # path leaves it to the z-test like rasterize_exact does.
+    xs, ys = _block_grid(cfg, y0, rows)
+
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    nm = jax.lax.axis_size(MODEL_AXIS)
+    T = scene.num_triangles
+    if T % nm != 0:
+        raise ValueError(
+            f"triangle count {T} not divisible by model axis {nm}"
+        )
+    tb = T // nm
+    base = mi * tb
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, base, tb, axis=0)
+
+    if cfg.pallas_enabled:
+        from raytpu.kernels.raster_pallas import (
+            raster_tri_constants,
+            resolve_winner_pallas,
+        )
+
+        consts = raster_tri_constants(sl(sx), sl(sy), sl(zinv), sl(keep))
+        consts = jax.lax.stop_gradient(consts)
+        win_local = resolve_winner_pallas(xs, ys, consts)
+        safe = jnp.maximum(win_local, 0)
+        plane = consts[safe]  # (R, 16)
+        z_local = plane[:, 9] * xs + plane[:, 10] * ys + plane[:, 11]
+        z_local = jnp.where(win_local >= 0, z_local, 0.0)
+    else:
+        from raytpu.render.soft import _fields_for
+
+        p = jnp.stack([xs, ys], axis=-1)
+        sdist, zpx, _, area_ok = _fields_for(
+            p, sl(sx), sl(sy), sl(zinv), sl(pos3d)
+        )
+        covered = (
+            (sdist >= 0.0) & (sl(keep)[None, :] > 0.0) & (zpx > 0.0)
+            & area_ok[None, :]
+        )
+        z_masked = jnp.where(covered, zpx, 0.0)
+        win_local = jnp.argmax(z_masked, axis=1).astype(jnp.int32)
+        z_local = jnp.take_along_axis(
+            z_masked, win_local[:, None], axis=1
+        )[:, 0]
+        win_local = jnp.where(z_local > 0.0, win_local, -1)
+
+    win_global = jnp.where(win_local >= 0, win_local + base, -1)
+    zs = jax.lax.all_gather(
+        jax.lax.stop_gradient(z_local), MODEL_AXIS
+    )  # (nm, R)
+    idxs = jax.lax.all_gather(win_global, MODEL_AXIS)
+    best_z = zs[0]
+    best_idx = idxs[0]
+    for m in range(1, zs.shape[0]):
+        upd = zs[m] > best_z  # strictly: earlier (lower-index) block keeps
+        best_z = jnp.where(upd, zs[m], best_z)
+        best_idx = jnp.where(upd, idxs[m], best_idx)
+    winner = jnp.where(best_z > 0.0, best_idx, -1)
+
+    return _shade_winner(winner, xs, ys, sx, sy, zinv, pos3d, scene,
+                         camera, lights, cfg)
+
+
+def make_sharded_rasterize(mesh, cfg: RenderConfig):
+    """jit-compiled sharded clean rasterizer: (H, W, 3) image sharded
+    row-wise over 'data', winner resolve sharded over 'model'."""
+    cfg = _resolve_pallas_for_mesh(mesh, cfg)
+    nd = mesh.shape[DATA_AXIS]
+    if cfg.height % nd != 0:
+        raise ValueError(f"height {cfg.height} not divisible by {nd}")
+    rows = cfg.height // nd
+
+    def _block(scene, camera, lights):
+        di = jax.lax.axis_index(DATA_AXIS)
+        color = raster_block(scene, camera, lights, cfg, di * rows, rows)
         return color.reshape(rows, cfg.width, 3)
 
     smapped = shard_map(
@@ -198,8 +410,12 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer):
 
     def _local_loss(scene, lights, camera, target_block):
         di = jax.lax.axis_index(DATA_AXIS)
-        color = render_block(scene, camera, lights, cfg, di * rows, rows)
+        color, fd = render_block(scene, camera, lights, cfg,
+                                 di * rows, rows)
         img_block = color.reshape(rows, cfg.width, 3)
+        if cfg.dof_enabled:
+            img_block = dof_block(img_block, fd.reshape(rows, cfg.width),
+                                  cfg, cfg.height, di * rows)
         l = jnp.sum((img_block - target_block) ** 2)
         l = jax.lax.psum(l, DATA_AXIS) / denom
         l = jax.lax.pmean(l, MODEL_AXIS)
