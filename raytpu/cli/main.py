@@ -27,6 +27,10 @@ def _common_render_flags(p: argparse.ArgumentParser, rasterizer: bool):
     p.add_argument("--stl", default=None,
                    help="render an ASCII STL model instead of the Cornell "
                         "box (ref CUSTOM_MODEL, `rasteriser.cpp:20`)")
+    p.add_argument("--morton", action="store_true",
+                   help="Morton-sort STL triangles for tighter chunk "
+                        "culling (changes last-wins tie-break order, so "
+                        "off by default for parity)")
     p.add_argument("--camera-pos", type=float, nargs=3, default=None)
     p.add_argument("--yaw", type=float, default=0.0)
     p.add_argument("--focal", type=float, default=None,
@@ -66,7 +70,9 @@ def _build_inputs(args, rasterizer: bool):
     from raytpu.core.types import Camera, Lights, RenderConfig
 
     if args.stl:
-        scene = load_stl(args.stl)
+        scene = load_stl(
+            args.stl, reorder="morton" if args.morton else None
+        )
         default_cam = (0.0, -0.5, -5.0)  # `rasteriser.cpp:109`
     else:
         scene = cornell_box()

@@ -53,7 +53,8 @@ def parse_ascii_stl(text: str) -> np.ndarray:
 
 def load_stl(path: str, scale: float = DEFAULT_SCALE,
              color=DEFAULT_COLOR, pad_to: int | None = None,
-             use_native: bool | None = None) -> Scene:
+             use_native: bool | None = None,
+             reorder: str | None = None) -> Scene:
     """Load an ASCII STL file as a :class:`Scene`.
 
     Applies the reference transform ``v *= -scale`` on every axis
@@ -62,6 +63,12 @@ def load_stl(path: str, scale: float = DEFAULT_SCALE,
 
     use_native: None = auto (C++ parser from raytpu.native when the shared
     library is buildable, python otherwise).
+
+    reorder: None keeps file order (bit-parity with the reference's
+    last-wins tie-break depends on it); "morton" sorts triangles by
+    centroid Morton code so the chunk-culling fast path
+    (kernels.intersect_pallas.intersect_pallas_culled) gets spatially
+    tight chunks.
     """
     from raytpu import native
 
@@ -73,6 +80,13 @@ def load_stl(path: str, scale: float = DEFAULT_SCALE,
         with open(path, "r", errors="replace") as f:
             tris = parse_ascii_stl(f.read())
     tris = tris * np.float32(-scale)
+    if reorder == "morton":
+        from raytpu.kernels.cull import morton_order
+
+        perm = morton_order(tris[:, 0], tris[:, 1], tris[:, 2])
+        tris = tris[perm]
+    elif reorder is not None:
+        raise ValueError(f"unknown reorder {reorder!r}")
     T = tris.shape[0]
     colors = np.broadcast_to(
         np.asarray(color, np.float32), (T, 3)
@@ -85,6 +99,7 @@ def load_stl(path: str, scale: float = DEFAULT_SCALE,
     return scene
 
 
-def load_reference_model(pad_to: int | None = None) -> Scene:
+def load_reference_model(pad_to: int | None = None,
+                         reorder: str | None = None) -> Scene:
     """The reference's 9,028-triangle `enemy1.stl` stress model."""
-    return load_stl(REFERENCE_MODEL, pad_to=pad_to)
+    return load_stl(REFERENCE_MODEL, pad_to=pad_to, reorder=reorder)

@@ -1,0 +1,228 @@
+"""Tile-frustum chunk culling — the TPU-native acceleration structure.
+
+The reference brute-forces every ray against every triangle
+(`raytracer/Source/raytracer.cpp:208-253`); a classic CPU/GPU answer is a
+BVH, but per-ray tree traversal is divergent, pointer-chasing control flow
+— the opposite of what the VPU wants. The TPU-idiomatic equivalent is a
+two-level *regular* structure that keeps the inner loop dense:
+
+  level 1 (this module, XLA):  triangles are already streamed through the
+    Pallas closest-hit kernel in fixed chunks (intersect_pallas.py). Give
+    each chunk a bounding sphere, each ray tile a bounding cone, and
+    precompute a conservative (n_tiles, n_chunks) keep-mask with one tiny
+    batched test — no per-ray branching anywhere.
+  level 2 (intersect_pallas._masked kernels): the mask is scalar-prefetched
+    into SMEM and each (ray tile, chunk) grid step wraps its chunk math in
+    `pl.when(keep)` — culled steps cost a scalar load and nothing else.
+    The surviving chunk math is THE SAME FMA chain, so culled results stay
+    bit-identical to the brute-force kernel (asserted in tests).
+
+Chunks are spatially coherent only if the triangle order is; STL meshes
+are usually emitted with good locality, and `morton_order` (used by
+core.stl) sorts by centroid Morton code for the ones that are not.
+
+Everything here is forward-geometry only and gradient-free: the mask is
+conservative (a culled chunk provably contains no hit for any ray of the
+tile), so it never changes the forward result, and the analytic VJP of the
+closest hit only touches the winning triangle — culling needs no backward
+story at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Conservative angular slack added to the cone-vs-sphere test: covers f32
+# rounding in the normalizations and acos/asin (which are good to a few
+# ulp); 1e-3 rad of margin costs <0.1% extra chunks kept.
+_ANGLE_MARGIN = 1e-3
+
+
+def chunk_spheres(v0: jax.Array, v1: jax.Array, v2: jax.Array,
+                  active: jax.Array, chunk: int):
+    """Bounding sphere of each triangle chunk.
+
+    v0/v1/v2: (T, 3) vertices; active: (T,) float mask; chunk: the SAME
+    chunk size the Pallas kernel uses (intersect_pallas._tight_chunk), so
+    sphere i covers exactly the triangles of grid chunk step i.
+
+    Returns (centers (n_chunks, 3), radii (n_chunks,)); an all-inactive
+    chunk gets radius -1 (always culled).
+    """
+    T = v0.shape[0]
+    Tp = -(-T // chunk) * chunk
+    pad = Tp - T
+
+    verts = jnp.stack([v0, v1, v2], axis=1)  # (T, 3verts, 3xyz)
+    act = active > 0.0
+    if pad:
+        verts = jnp.concatenate(
+            [verts, jnp.zeros((pad, 3, 3), verts.dtype)], axis=0
+        )
+        act = jnp.concatenate([act, jnp.zeros((pad,), bool)], axis=0)
+
+    n_chunks = Tp // chunk
+    verts = verts.reshape(n_chunks, chunk * 3, 3)
+    act3 = jnp.repeat(act.reshape(n_chunks, chunk), 3, axis=1)[..., None]
+
+    big = jnp.float32(3.0e38)
+    vmin = jnp.min(jnp.where(act3, verts, big), axis=1)   # (n_chunks, 3)
+    vmax = jnp.max(jnp.where(act3, verts, -big), axis=1)
+    any_act = jnp.any(act.reshape(n_chunks, chunk), axis=1)
+    centers = jnp.where(any_act[:, None], (vmin + vmax) * 0.5, 0.0)
+    half = jnp.where(any_act[:, None], (vmax - vmin) * 0.5, 0.0)
+    radii = jnp.where(
+        any_act, jnp.linalg.norm(half, axis=-1), -1.0
+    )
+    return centers, radii
+
+
+def tile_cones(dirs: jax.Array, tile_r: int):
+    """Bounding cone of each ray-direction tile.
+
+    dirs: (R, 3) with R a multiple of tile_r (pad by REPLICATING a real
+    ray, not with junk — junk directions blow the cone wide open).
+    Returns (axes (n_tiles, 3) unit, cos_half (n_tiles,)): every tile ray
+    direction d satisfies  d̂ · axis >= cos_half.
+    """
+    R = dirs.shape[0]
+    n_tiles = R // tile_r
+    d = dirs.reshape(n_tiles, tile_r, 3)
+    dn = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-30)
+    axis = jnp.mean(dn, axis=1)
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-30)
+    cos_half = jnp.min(jnp.sum(dn * axis[:, None, :], axis=-1), axis=1)
+    return axis, jnp.clip(cos_half, -1.0, 1.0)
+
+
+def keep_mask(origin: jax.Array, axes: jax.Array, cos_half: jax.Array,
+              centers: jax.Array, radii: jax.Array) -> jax.Array:
+    """Conservative (n_tiles, n_chunks) int32 keep-mask.
+
+    Chunk kept for a tile iff the cone {origin, axis, half-angle} can
+    intersect the chunk's bounding sphere in the +t direction: with
+    w = center - origin, the sphere spans angular radius asin(r/|w|)
+    around w, so overlap requires angle(w, axis) <= half + asin(r/|w|).
+    Origins inside the sphere always keep. Empty chunks (r < 0) never do.
+    """
+    w = centers[None, :, :] - origin[None, None, :]      # (1, C, 3)
+    dist = jnp.linalg.norm(w, axis=-1)                   # (1, C)
+    dist_safe = jnp.maximum(dist, 1e-30)
+    cos_alpha = jnp.sum(
+        w * axes[:, None, :], axis=-1
+    ) / dist_safe                                        # (Ti, C)
+    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    sin_beta = jnp.clip(radii[None, :] / dist_safe, 0.0, 1.0)
+    beta = jnp.arcsin(sin_beta)
+    theta = jnp.arccos(cos_half)[:, None]                # (Ti, 1)
+    keep = alpha <= theta + beta + _ANGLE_MARGIN
+    keep = keep | (dist <= radii[None, :])               # origin inside
+    keep = keep & (radii[None, :] >= 0.0)
+    return keep.astype(jnp.int32)
+
+
+def chunk_mask_for(origin: jax.Array, dirs: jax.Array,
+                   v0: jax.Array, v1: jax.Array, v2: jax.Array,
+                   active: jax.Array, tile_r: int, chunk: int) -> jax.Array:
+    """One-call mask for common-origin rays: (n_tiles, n_chunks) int32."""
+    centers, radii = chunk_spheres(v0, v1, v2, active, chunk)
+    axes, cos_half = tile_cones(dirs, tile_r)
+    return keep_mask(origin, axes, cos_half, centers, radii)
+
+
+def shadow_keep_mask(primary_keep: jax.Array, centers: jax.Array,
+                     radii: jax.Array, src_pos: jax.Array,
+                     cam_pos: jax.Array) -> jax.Array:
+    """Conservative shadow-phase keep-mask (n_tiles, S, n_chunks) int32.
+
+    A shadow ray of tile i toward source s runs from src_pos[s] to a
+    primary hit point, which lies inside SOME primary-kept chunk sphere j
+    of tile i (primary_keep is conservative, so the true hit chunk is
+    kept). Chunk c can therefore occlude (i, s) only if its sphere comes
+    within r_c + r_j of the segment [src_pos[s], center_j] for some kept
+    j — the swept cone-capsule hull{source, sphere_j}, widened
+    conservatively to a capsule of radius r_j.
+
+    Computed as a per-source boolean matmul: pair[s, j, c] (capsule test)
+    contracted with primary_keep[i, j].
+
+    cam_pos: miss rays carry hit position = camera origin (t zeroed —
+    ops/intersect.hit_positions and the fused kernels agree on this), and
+    the unculled kernels still evaluate their occlusion bit; the
+    source->camera segment is OR-ed into every tile's mask so the culled
+    occlusion output stays bit-identical for miss pixels too.
+    """
+    S = src_pos.shape[0]
+    C = centers.shape[0]
+    # Segment [a, b]: a = source (S,1,3), b = chunk centers (1,C_j,3).
+    a = src_pos[:, None, :]
+    b = centers[None, :, :]
+    ab = b - a                                           # (S, Cj, 3)
+    ab2 = jnp.sum(ab * ab, axis=-1, keepdims=True)
+    ab2 = jnp.maximum(ab2, 1e-30)
+    # Closest point of each segment to each candidate-occluder center c.
+    w = centers[None, None, :, :] - a[:, :, None, :]     # (S, Cj, Cc, 3)
+    tseg = jnp.clip(
+        jnp.sum(w * ab[:, :, None, :], axis=-1) / ab2, 0.0, 1.0
+    )                                                    # (S, Cj, Cc)
+    closest = a[:, :, None, :] + tseg[..., None] * ab[:, :, None, :]
+    d = jnp.linalg.norm(
+        centers[None, None, :, :] - closest, axis=-1
+    )                                                    # (S, Cj, Cc)
+    reach = radii[None, :, None] + radii[None, None, :] + 1e-4
+    valid_j = (radii >= 0.0)[None, :, None]
+    valid_c = (radii >= 0.0)[None, None, :]
+    pair = (d <= reach) & valid_j & valid_c              # (S, Cj, Cc)
+
+    # keep[i, s, c] = OR_j primary_keep[i, j] & pair[s, j, c]
+    pk = primary_keep.astype(jnp.float32)                # (Ti, Cj)
+    pr = pair.astype(jnp.float32).reshape(S, C, C)
+    hits = jnp.einsum("ij,sjc->isc", pk, pr,
+                      precision=jax.lax.Precision.HIGHEST)
+    keep = hits > 0.0
+
+    # Miss rays: shadow segment [source, camera]; point-capsule test.
+    wc = cam_pos[None, None, :] - a                      # (S, 1, 3) via a
+    seg = wc[:, 0, :]                                    # (S, 3)
+    seg2 = jnp.maximum(jnp.sum(seg * seg, axis=-1, keepdims=True), 1e-30)
+    wcc = centers[None, :, :] - src_pos[:, None, :]      # (S, Cc, 3)
+    tc = jnp.clip(
+        jnp.sum(wcc * seg[:, None, :], axis=-1) / seg2, 0.0, 1.0
+    )
+    close_c = src_pos[:, None, :] + tc[..., None] * seg[:, None, :]
+    d_cam = jnp.linalg.norm(centers[None, :, :] - close_c, axis=-1)
+    pair_cam = (d_cam <= radii[None, :] + 1e-4) & (radii >= 0.0)[None, :]
+    keep = keep | pair_cam[None, :, :]                   # all tiles
+    return keep.astype(jnp.int32)
+
+
+def morton_order(v0, v1, v2, bits: int = 10):
+    """Spatial sort permutation by centroid Morton code (numpy, load-time).
+
+    Makes streaming chunks spatially tight so chunk_spheres are small —
+    the whole lever behind the cull rate. Stable sort keeps the reference
+    last-wins tie-break deterministic for equal codes.
+    """
+    import numpy as np
+
+    c = (np.asarray(v0) + np.asarray(v1) + np.asarray(v2)) / 3.0
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.minimum(
+        ((c - lo) / span * (2**bits - 1)).astype(np.uint64), 2**bits - 1
+    )
+
+    def spread(x):
+        x &= np.uint64(0x3FF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+        return x
+
+    code = (
+        spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+        | (spread(q[:, 2]) << np.uint64(2))
+    )
+    return np.argsort(code, kind="stable")

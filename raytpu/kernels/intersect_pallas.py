@@ -629,18 +629,255 @@ def _fused_multi_bwd(tile_r, tri_chunk, res, cts):
 closest_hit_occluded_multi.defvjp(_fused_multi_fwd, _fused_multi_bwd)
 
 
+def _fused_multi_kernel_masked(mask_ref, dirs_ref, blk_ref, cam_ref,
+                               light_ref, t_ref, idx_ref, occ_ref,
+                               best_t_ref, best_idx_ref, pos_ref, *,
+                               tri_chunk: int, n_chunks: int, n_src: int):
+    """Chunk-culled _fused_multi_kernel (same math, bit-identical).
+
+    mask_ref: (n_tiles * (1+S) * n_chunks,) int32 scalar-prefetch keep
+    mask — primary-phase columns from kernels.cull.chunk_mask_for, shadow
+    columns from kernels.cull.shadow_keep_mask. The phase-boundary step
+    (hit reconstruction) and the output writes stay unconditional; only
+    per-chunk plane-test math is skipped.
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    C = tri_chunk
+    total = (1 + n_src) * n_chunks
+    keep = mask_ref[i * total + c] != 0
+
+    @pl.when(c == 0)
+    def _():
+        best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
+        best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
+
+    @pl.when((c < n_chunks) & keep)
+    def _primary():
+        dirs = dirs_ref[:, :]
+        t, ok = _chunk_tuv(blk_ref, C, dirs[0:1, :], dirs[1:2, :],
+                           dirs[2:3, :])
+        tm = jnp.where(ok, t, _F32MAX)
+        chunk_min = jnp.min(tm, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+        # Last triangle wins ties (`raytracer.cpp:243` >= update).
+        chunk_idx = jnp.max(
+            jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
+        ) + c * C
+        best_t = best_t_ref[:, :]
+        upd = chunk_min <= best_t
+        best_t_ref[:, :] = jnp.where(upd, chunk_min, best_t)
+        best_idx_ref[:, :] = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+
+    @pl.when(c == n_chunks)
+    def _boundary():
+        dirs = dirs_ref[:, :]
+        best_t = best_t_ref[:, :]
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx_ref[:, :], -1)
+        tz = jnp.where(best_t < _F32MAX, best_t, 0.0)
+        # Same op order as the XLA path: pos = cam + t*d.
+        for i2 in range(3):
+            cam_i = cam_ref[i2 : i2 + 1, 0:1]
+            pos_ref[i2 : i2 + 1, :] = cam_i + tz * dirs[i2 : i2 + 1, :]
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    @pl.when((c >= n_chunks) & keep)
+    def _shadow():
+        d2x = pos_ref[0:1, :] - light_ref[0:1, 0:1]
+        d2y = pos_ref[1:2, :] - light_ref[0:1, 1:2]
+        d2z = pos_ref[2:3, :] - light_ref[0:1, 2:3]
+        t, ok = _chunk_tuv(blk_ref, C, d2x, d2y, d2z)
+        occ = ok & (t < 0.99)
+        any_occ = jnp.max(
+            jnp.where(occ, 1, 0), axis=0, keepdims=True
+        ).astype(jnp.int32)  # (1, TILE_R)
+        s = c // n_chunks - 1
+        src_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (n_src, any_occ.shape[1]), dimension=0
+        )
+        occ_ref[:, :] = jnp.where(
+            src_rows == s,
+            jnp.maximum(occ_ref[:, :], any_occ),
+            occ_ref[:, :],
+        )
+
+
+def _fused_multi_masked_raw(dirs_t, m, k0, valid, m_s, k0_s, cam_pos,
+                            src_pos, mask, *, tile_r: int, tri_chunk: int):
+    """Masked twin of _fused_multi_raw. mask: (n_tiles, (1+S)*n_chunks)."""
+    R = dirs_t.shape[1]
+    S = m_s.shape[0]
+    if R % tile_r != 0:
+        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
+    chunk = _tight_chunk(m.shape[0], tri_chunk)
+    blk, n_chunks = _blocked_constants(m, k0, valid, chunk)
+    blocks = [blk]
+    for s in range(S):
+        blk_s, _ = _blocked_constants(m_s[s], k0_s[s], valid, chunk)
+        blocks.append(blk_s)
+    blocked = jnp.concatenate(blocks, axis=0)
+    cam = jnp.zeros((8, 128), jnp.float32).at[0:3, 0].set(cam_pos)
+    lights = jnp.zeros((S * 8, 128), jnp.float32).at[::8, 0:3].set(src_pos)
+    if mask.shape != (R // tile_r, (1 + S) * n_chunks):
+        raise ValueError(
+            f"mask shape {mask.shape} != "
+            f"{(R // tile_r, (1 + S) * n_chunks)}"
+        )
+
+    def src_row(i, c, m_):
+        del i, m_
+        return (jnp.maximum(c // n_chunks - 1, 0), 0)
+
+    grid = (R // tile_r, (1 + S) * n_chunks)
+    kernel = functools.partial(_fused_multi_kernel_masked, tri_chunk=chunk,
+                               n_chunks=n_chunks, n_src=S)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c, m_: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, c, m_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), src_row,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+            pltpu.VMEM((3, tile_r), jnp.float32),
+        ],
+    )
+    t, idx, occ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+            jax.ShapeDtypeStruct((S, R), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(mask.reshape(-1), dirs_t, blocked, cam, lights)
+    return t[0], idx[0], occ
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def closest_hit_occluded_multi_masked(dirs, m, k0, valid, m_s, k0_s,
+                                      cam_pos, src_pos, mask,
+                                      tile_r=2048, tri_chunk=512):
+    """Chunk-culled closest_hit_occluded_multi (bit-identical outputs)."""
+    return _fused_multi_masked_raw(
+        dirs.T, m, k0, valid, m_s, k0_s, cam_pos, src_pos, mask,
+        tile_r=tile_r, tri_chunk=tri_chunk,
+    )
+
+
+def _fused_multi_masked_fwd(dirs, m, k0, valid, m_s, k0_s, cam_pos,
+                            src_pos, mask, tile_r, tri_chunk):
+    t, idx, occ = closest_hit_occluded_multi_masked(
+        dirs, m, k0, valid, m_s, k0_s, cam_pos, src_pos, mask,
+        tile_r, tri_chunk,
+    )
+    return (t, idx, occ), (dirs, m, k0, t, idx)
+
+
+def _fused_multi_masked_bwd(tile_r, tri_chunk, res, cts):
+    t_bar = cts[0]
+    g_dirs, g_m, g_k0, _ = _bwd(tile_r, tri_chunk, res, (t_bar, None))
+    return g_dirs, g_m, g_k0, None, None, None, None, None, None
+
+
+closest_hit_occluded_multi_masked.defvjp(
+    _fused_multi_masked_fwd, _fused_multi_masked_bwd
+)
+
+
+def _fused_masks(dirs_swz, scene_geom, valid, src_pos, cam_pos,
+                 tile_r: int, chunk: int):
+    """Build the (n_tiles, (1+S)*n_chunks) fused-kernel keep mask."""
+    from raytpu.kernels.cull import (
+        chunk_spheres,
+        keep_mask,
+        shadow_keep_mask,
+        tile_cones,
+    )
+
+    v0, v1, v2 = scene_geom
+    centers, radii = chunk_spheres(v0, v1, v2, valid, chunk)
+    axes, cos_half = tile_cones(dirs_swz, tile_r)
+    primary = keep_mask(cam_pos, axes, cos_half, centers, radii)
+    shadow = shadow_keep_mask(primary, centers, radii, src_pos, cam_pos)
+    n_tiles = primary.shape[0]
+    return jnp.concatenate(
+        [primary, shadow.reshape(n_tiles, -1)], axis=1
+    )
+
+
 def intersect_occluded_multi_pallas(
     dirs: jax.Array, consts: TriConstants, consts_src: TriConstants,
     cam_pos: jax.Array, src_pos: jax.Array,
     tile_r: int = 2048, tri_chunk: int = 512,
+    scene_geom: tuple | None = None, image_hw: tuple | None = None,
 ) -> tuple[Hits, jax.Array]:
     """Fused primary intersect + occlusion toward S shadow sources.
 
     consts_src: TriConstants with batched leaves — m (S, T, 3, 3),
     k0 (S, T) from ``jax.vmap(lambda o: tri_constants(scene, o))(src_pos)``.
     Returns (Hits, occluded (S, R) bool). Pads the ray count internally.
+
+    scene_geom: optional (v0, v1, v2) vertex arrays (same triangle order
+    as consts) — enables conservative chunk culling for multi-chunk
+    scenes (bit-identical results; see kernels.cull). image_hw: (H, W)
+    when rays are a row-major pixel grid, for spatially-tight ray tiles.
     """
     R = dirs.shape[0]
+    chunk = _tight_chunk(consts.m.shape[0], tri_chunk)
+    n_chunks = -(-consts.m.shape[0] // chunk)
+    tiled = _tile_shape(image_hw, tile_r) if scene_geom else None
+    if scene_geom is not None and n_chunks > 1:
+        if tiled is not None:
+            th, tw = tiled
+            H, W = image_hw
+            dirs_p = _swizzle(dirs, H, W, th, tw)
+        elif (-R) % tile_r:
+            pad = (-R) % tile_r
+            dirs_p = jnp.concatenate(
+                [dirs, jnp.tile(dirs[-1:], (pad, 1))], axis=0
+            )
+        else:
+            dirs_p = dirs
+        mask = _fused_masks(dirs_p, scene_geom, consts.valid, src_pos,
+                            cam_pos, tile_r, chunk)
+        t, idx, occ = closest_hit_occluded_multi_masked(
+            dirs_p, consts.m, consts.k0, consts.valid,
+            consts_src.m, consts_src.k0, cam_pos, src_pos, mask,
+            tile_r, tri_chunk,
+        )
+        if tiled is not None:
+            t = _unswizzle(t, H, W, th, tw)
+            idx = _unswizzle(idx, H, W, th, tw)
+            occ = _unswizzle(occ.T, H, W, th, tw).T
+        else:
+            t = t[:R]
+            idx = idx[:R]
+            occ = occ[:, :R]
+        hit = t < _F32MAX
+        return (
+            Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
+            occ.astype(bool),
+        )
+
     pad = (-R) % tile_r
     if pad:
         dirs_p = jnp.concatenate(
@@ -786,6 +1023,216 @@ def intersect_occluded_pallas(
         Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
         occ[:R].astype(bool),
     )
+
+
+def _kernel_masked(mask_ref, dirs_ref, m_ref, t_ref, idx_ref,
+                   best_t_ref, best_idx_ref, *, tri_chunk: int):
+    """Chunk-culled variant of _kernel (same math, bit-identical results).
+
+    mask_ref: (n_tiles * n_chunks,) int32 scalar-prefetch keep-mask from
+    kernels.cull — SMEM-resident before the body runs. A culled
+    (tile, chunk) step costs one scalar load; kept steps run the exact
+    _kernel chunk math, so the winning (t, idx) never differs from the
+    brute-force kernel (the mask is conservative by construction).
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    C = tri_chunk
+
+    @pl.when(c == 0)
+    def _():
+        best_t_ref[:, :] = jnp.full_like(best_t_ref[:, :], _F32MAX)
+        best_idx_ref[:, :] = jnp.zeros_like(best_idx_ref[:, :])
+
+    @pl.when(mask_ref[i * n_chunks + c] != 0)
+    def _chunk():
+        dirs = dirs_ref[:, :]
+        t, ok = _chunk_tuv(m_ref, C, dirs[0:1, :], dirs[1:2, :],
+                           dirs[2:3, :])
+        tm = jnp.where(ok, t, _F32MAX)
+        chunk_min = jnp.min(tm, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+        # Last triangle wins ties (`raytracer.cpp:243` >= update).
+        chunk_idx = jnp.max(
+            jnp.where(tm == chunk_min, rows, -1), axis=0, keepdims=True
+        ) + c * C
+        best_t = best_t_ref[:, :]
+        upd = chunk_min <= best_t
+        best_t_ref[:, :] = jnp.where(upd, chunk_min, best_t)
+        best_idx_ref[:, :] = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        best_t = best_t_ref[:, :]
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = jnp.where(best_t < _F32MAX, best_idx_ref[:, :], -1)
+
+
+def _closest_hit_masked_raw(dirs_t, m, k0, valid, mask, *, tile_r: int,
+                            tri_chunk: int):
+    """dirs_t: (3, R); mask: (n_tiles, n_chunks) int32. -> (t, idx)."""
+    R = dirs_t.shape[1]
+    if R % tile_r != 0:
+        raise ValueError(f"ray count {R} not a multiple of {tile_r}")
+    chunk = _tight_chunk(m.shape[0], tri_chunk)
+    blocked, n_chunks = _blocked_constants(m, k0, valid, chunk)
+    if mask.shape != (R // tile_r, n_chunks):
+        raise ValueError(
+            f"mask shape {mask.shape} != {(R // tile_r, n_chunks)}"
+        )
+
+    grid = (R // tile_r, n_chunks)  # chunk axis fastest
+    kernel = functools.partial(_kernel_masked, tri_chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * chunk, 3), lambda i, c, m_: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, c, m_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.int32),
+        ],
+    )
+    t, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(mask.reshape(-1), dirs_t, blocked)
+    return t[0], idx[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def closest_hit_masked(dirs, m, k0, valid, mask, tile_r=2048,
+                       tri_chunk=512):
+    """Differentiable chunk-culled fused closest hit.
+
+    mask: (R // tile_r, n_chunks) int32 conservative keep-mask
+    (kernels.cull.chunk_mask_for with the kernel's own chunk size).
+    Same contract and bit-identical results as closest_hit.
+    """
+    return _closest_hit_masked_raw(
+        dirs.T, m, k0, valid, mask, tile_r=tile_r, tri_chunk=tri_chunk
+    )
+
+
+def _masked_fwd(dirs, m, k0, valid, mask, tile_r, tri_chunk):
+    t, idx = closest_hit_masked(dirs, m, k0, valid, mask, tile_r, tri_chunk)
+    return (t, idx), (dirs, m, k0, t, idx)
+
+
+def _masked_bwd(tile_r, tri_chunk, res, cts):
+    # The winner's analytic VJP doesn't involve the mask (a culled chunk
+    # never wins — conservative mask), so reuse _bwd verbatim.
+    g_dirs, g_m, g_k0, _ = _bwd(tile_r, tri_chunk, res, cts)
+    return g_dirs, g_m, g_k0, None, None
+
+
+closest_hit_masked.defvjp(_masked_fwd, _masked_bwd)
+
+
+def _tile_shape(image_hw, tile_r: int):
+    """Pick a (th, tw) pixel block with th*tw == tile_r that divides the
+    image — spatially TIGHT ray tiles are the whole cull lever (4 full
+    512-px rows span the entire horizontal FOV; a 32x64 block spans a few
+    degrees). None if the image can't be evenly blocked."""
+    if image_hw is None:
+        return None
+    H, W = image_hw
+    if H * W % tile_r:
+        return None
+    th = 1
+    # Most-square factorization of tile_r that divides (H, W).
+    for cand in range(int(tile_r ** 0.5), 0, -1):
+        if tile_r % cand == 0 and H % cand == 0 and W % (tile_r // cand) == 0:
+            th = cand
+            break
+    tw = tile_r // th
+    if H % th or W % tw:
+        return None
+    return th, tw
+
+
+def _swizzle(arr, H, W, th, tw):
+    """(H*W, ...) row-major -> block-major (pure reshape/transpose)."""
+    rest = arr.shape[1:]
+    a = arr.reshape(H // th, th, W // tw, tw, *rest)
+    return jnp.moveaxis(a, 1, 2).reshape(H * W, *rest)
+
+
+def _unswizzle(arr, H, W, th, tw):
+    """Inverse of _swizzle."""
+    rest = arr.shape[1:]
+    a = arr.reshape(H // th, W // tw, th, tw, *rest)
+    return jnp.moveaxis(a, 2, 1).reshape(H * W, *rest)
+
+
+def intersect_pallas_culled(dirs: jax.Array, consts: TriConstants,
+                            origin: jax.Array, v0: jax.Array, v1: jax.Array,
+                            v2: jax.Array, tile_r: int = 2048,
+                            tri_chunk: int = 512,
+                            image_hw: tuple | None = None) -> Hits:
+    """Chunk-culled closest hit for common-origin rays.
+
+    Bit-identical to intersect_pallas (the cull is conservative — see
+    kernels.cull) but skips the chunk math for every (ray tile, triangle
+    chunk) pair whose bounding cone provably misses the chunk's bounding
+    sphere — the big-scene (STL) fast path. v0/v1/v2 are the scene
+    vertices in the SAME order as consts; origin is the shared ray origin
+    used to build consts.
+
+    image_hw: (H, W) when the R rays are a row-major pixel grid — rays are
+    then swizzled into (th, tw) pixel blocks so each kernel tile covers a
+    narrow bounding cone (the swizzle is a pure reshape/transpose, and the
+    per-ray outputs are un-swizzled back; winners are unaffected).
+    """
+    from raytpu.kernels.cull import chunk_mask_for
+
+    R = dirs.shape[0]
+    tiled = _tile_shape(image_hw, tile_r)
+    if tiled is not None:
+        th, tw = tiled
+        H, W = image_hw
+        dirs_p = _swizzle(dirs, H, W, th, tw)
+        pad = 0
+    else:
+        pad = (-R) % tile_r
+        if pad:
+            # Replicate the last real ray: junk pad directions would blow
+            # the last tile's bounding cone wide open and kill its cull
+            # rate.
+            dirs_p = jnp.concatenate(
+                [dirs, jnp.tile(dirs[-1:], (pad, 1))], axis=0
+            )
+        else:
+            dirs_p = dirs
+    chunk = _tight_chunk(consts.m.shape[0], tri_chunk)
+    mask = chunk_mask_for(origin, dirs_p, v0, v1, v2, consts.valid,
+                          tile_r, chunk)
+    t, idx = closest_hit_masked(dirs_p, consts.m, consts.k0, consts.valid,
+                                mask, tile_r, tri_chunk)
+    if tiled is not None:
+        t = _unswizzle(t, H, W, th, tw)
+        idx = _unswizzle(idx, H, W, th, tw)
+    else:
+        t = t[:R]
+        idx = idx[:R]
+    hit = t < _F32MAX
+    return Hits(t=t, idx=idx.astype(jnp.int32), hit=hit)
 
 
 def intersect_pallas(dirs: jax.Array, consts: TriConstants,

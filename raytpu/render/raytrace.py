@@ -98,11 +98,16 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     # (raytpu.kernels.intersect_pallas.closest_hit_occluded). Excluded for
     # parity_record: there each sub-ray shades the RECORD's (possibly
     # stale) hit, whose position differs from this sub-ray's own hit.
+    # Multi-chunk scenes (STL-scale) get conservative chunk culling
+    # (kernels.cull): route single-light through the multi-source kernel
+    # (S=1), which carries the phase mask — results stay bit-identical.
+    big_scene = scene.num_triangles > 128
     fused = (
         cfg.pallas_enabled
         and lights.capacity == 1
         and cfg.soft_shadow_samples == 1
         and not parity_record
+        and not big_scene
     )
     # Multi-source fused path (multi-light and/or soft shadows): ONE kernel
     # launch per sub-ray produces the primary hit AND the occlusion bit of
@@ -150,6 +155,10 @@ def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
             hits, occlusion_rows = intersect_occluded_multi_pallas(
                 dirs, consts, consts_src, camera.pos, src_pos,
                 tri_chunk=cfg.tri_chunk,
+                scene_geom=(
+                    (scene.v0, scene.v1, scene.v2) if big_scene else None
+                ),
+                image_hw=(cfg.height, cfg.width),
             )
         else:
             hits = intersect(dirs, consts, tri_chunk=cfg.tri_chunk,
