@@ -132,69 +132,72 @@ def chunk_mask_for(origin: jax.Array, dirs: jax.Array,
 
 
 def shadow_keep_mask(primary_keep: jax.Array, centers: jax.Array,
-                     radii: jax.Array, src_pos: jax.Array,
-                     cam_pos: jax.Array) -> jax.Array:
+                     radii: jax.Array, src_pos: jax.Array) -> jax.Array:
     """Conservative shadow-phase keep-mask (n_tiles, S, n_chunks) int32.
 
     A shadow ray of tile i toward source s runs from src_pos[s] to a
     primary hit point, which lies inside SOME primary-kept chunk sphere j
     of tile i (primary_keep is conservative, so the true hit chunk is
-    kept). Chunk c can therefore occlude (i, s) only if its sphere comes
-    within r_c + r_j of the segment [src_pos[s], center_j] for some kept
-    j — the swept cone-capsule hull{source, sphere_j}, widened
-    conservatively to a capsule of radius r_j.
+    kept). Chunk c can therefore occlude (i, s) only if its sphere meets
+    the swept region hull{src_pos[s], sphere_j} for some kept j — a cone
+    with apex at the source (tested exactly, sphere-expanded, with a
+    range cap |p - src| <= d_j + r_j).
 
-    Computed as a per-source boolean matmul: pair[s, j, c] (capsule test)
+    Computed as a per-source boolean matmul: pair[s, j, c] (cone test)
     contracted with primary_keep[i, j].
 
-    cam_pos: miss rays carry hit position = camera origin (t zeroed —
-    ops/intersect.hit_positions and the fused kernels agree on this), and
-    the unculled kernels still evaluate their occlusion bit; the
-    source->camera segment is OR-ed into every tile's mask so the culled
-    occlusion output stays bit-identical for miss pixels too.
+    CONTRACT: the resulting occlusion bits are specified ONLY for rays
+    that hit. Miss rays carry hit position = camera origin (t zeroed) and
+    the unculled kernels still evaluate their occlusion bit there, but
+    nothing consumes it (ops/shade composite zeroes misses); a tile whose
+    primary mask is empty provably has no hits and skips its shadow
+    phases entirely — the big win when the model covers little screen.
     """
     S = src_pos.shape[0]
     C = centers.shape[0]
-    # Segment [a, b]: a = source (S,1,3), b = chunk centers (1,C_j,3).
-    a = src_pos[:, None, :]
-    b = centers[None, :, :]
-    ab = b - a                                           # (S, Cj, 3)
-    ab2 = jnp.sum(ab * ab, axis=-1, keepdims=True)
-    ab2 = jnp.maximum(ab2, 1e-30)
-    # Closest point of each segment to each candidate-occluder center c.
-    w = centers[None, None, :, :] - a[:, :, None, :]     # (S, Cj, Cc, 3)
-    tseg = jnp.clip(
-        jnp.sum(w * ab[:, :, None, :], axis=-1) / ab2, 0.0, 1.0
-    )                                                    # (S, Cj, Cc)
-    closest = a[:, :, None, :] + tseg[..., None] * ab[:, :, None, :]
-    d = jnp.linalg.norm(
-        centers[None, None, :, :] - closest, axis=-1
-    )                                                    # (S, Cj, Cc)
-    reach = radii[None, :, None] + radii[None, None, :] + 1e-4
+    # hull{src, sphere_j} is a CONE: apex src, axis to center_j, half
+    # angle asin(r_j/d_j) — much tighter near the source than a capsule
+    # of radius r_j. Occluder sphere_c intersects it iff
+    #   angle(w_c, axis_j) <= asin(r_j/d_j) + asin(r_c/d_c)        and
+    #   d_c - r_c <= d_j + r_j    (any occluding point p satisfies
+    #   |p-src| <= 0.99 |q-src| <= d_j + r_j for some q in sphere_j).
+    a = src_pos[:, None, :]                              # (S, 1, 3)
+    axis = centers[None, :, :] - a                       # (S, Cj, 3)
+    d_j = jnp.linalg.norm(axis, axis=-1)                 # (S, Cj)
+    d_j_safe = jnp.maximum(d_j, 1e-30)
+    beta_j = jnp.arcsin(jnp.clip(radii[None, :] / d_j_safe, 0.0, 1.0))
+    # Source inside sphere_j: the hull is the sphere itself but rays can
+    # leave in ANY direction — keep everything for that j (rare).
+    inside_j = d_j <= radii[None, :]                     # (S, Cj)
+
+    w = centers[None, None, :, :] - a[:, :, None, :]     # (S, 1, Cc, 3)
+    d_c = jnp.linalg.norm(w, axis=-1)                    # (S, 1, Cc)
+    d_c_safe = jnp.maximum(d_c, 1e-30)
+    beta_c = jnp.arcsin(jnp.clip(radii[None, None, :] / d_c_safe,
+                                 0.0, 1.0))
+    cos_ang = jnp.sum(
+        w * (axis / d_j_safe[..., None])[:, :, None, :], axis=-1
+    ) / d_c_safe                                         # (S, Cj, Cc)
+    ang = jnp.arccos(jnp.clip(cos_ang, -1.0, 1.0))
+    angle_ok = ang <= beta_j[:, :, None] + beta_c + _ANGLE_MARGIN
+    range_ok = (
+        d_c - radii[None, None, :]
+        <= (d_j + radii[None, :])[:, :, None] + 1e-4
+    )
+    origin_in_c = d_c <= radii[None, None, :]            # src inside c
     valid_j = (radii >= 0.0)[None, :, None]
     valid_c = (radii >= 0.0)[None, None, :]
-    pair = (d <= reach) & valid_j & valid_c              # (S, Cj, Cc)
+    pair = (
+        ((angle_ok & range_ok) | inside_j[:, :, None] | origin_in_c)
+        & valid_j & valid_c
+    )                                                    # (S, Cj, Cc)
 
     # keep[i, s, c] = OR_j primary_keep[i, j] & pair[s, j, c]
     pk = primary_keep.astype(jnp.float32)                # (Ti, Cj)
     pr = pair.astype(jnp.float32).reshape(S, C, C)
     hits = jnp.einsum("ij,sjc->isc", pk, pr,
                       precision=jax.lax.Precision.HIGHEST)
-    keep = hits > 0.0
-
-    # Miss rays: shadow segment [source, camera]; point-capsule test.
-    wc = cam_pos[None, None, :] - a                      # (S, 1, 3) via a
-    seg = wc[:, 0, :]                                    # (S, 3)
-    seg2 = jnp.maximum(jnp.sum(seg * seg, axis=-1, keepdims=True), 1e-30)
-    wcc = centers[None, :, :] - src_pos[:, None, :]      # (S, Cc, 3)
-    tc = jnp.clip(
-        jnp.sum(wcc * seg[:, None, :], axis=-1) / seg2, 0.0, 1.0
-    )
-    close_c = src_pos[:, None, :] + tc[..., None] * seg[:, None, :]
-    d_cam = jnp.linalg.norm(centers[None, :, :] - close_c, axis=-1)
-    pair_cam = (d_cam <= radii[None, :] + 1e-4) & (radii >= 0.0)[None, :]
-    keep = keep | pair_cam[None, :, :]                   # all tiles
-    return keep.astype(jnp.int32)
+    return (hits > 0.0).astype(jnp.int32)
 
 
 def morton_order(v0, v1, v2, bits: int = 10):

@@ -776,7 +776,12 @@ def _fused_multi_masked_raw(dirs_t, m, k0, valid, m_s, k0_s, cam_pos,
 def closest_hit_occluded_multi_masked(dirs, m, k0, valid, m_s, k0_s,
                                       cam_pos, src_pos, mask,
                                       tile_r=2048, tri_chunk=512):
-    """Chunk-culled closest_hit_occluded_multi (bit-identical outputs)."""
+    """Chunk-culled closest_hit_occluded_multi.
+
+    t and idx are bit-identical to the unmasked kernel; occ is specified
+    (and bit-identical) only for rays that hit — miss rays' occlusion
+    bits may be culled to 0 (kernels.cull.shadow_keep_mask contract;
+    nothing downstream consumes them, composite zeroes misses)."""
     return _fused_multi_masked_raw(
         dirs.T, m, k0, valid, m_s, k0_s, cam_pos, src_pos, mask,
         tile_r=tile_r, tri_chunk=tri_chunk,
@@ -817,7 +822,7 @@ def _fused_masks(dirs_swz, scene_geom, valid, src_pos, cam_pos,
     centers, radii = chunk_spheres(v0, v1, v2, valid, chunk)
     axes, cos_half = tile_cones(dirs_swz, tile_r)
     primary = keep_mask(cam_pos, axes, cos_half, centers, radii)
-    shadow = shadow_keep_mask(primary, centers, radii, src_pos, cam_pos)
+    shadow = shadow_keep_mask(primary, centers, radii, src_pos)
     n_tiles = primary.shape[0]
     return jnp.concatenate(
         [primary, shadow.reshape(n_tiles, -1)], axis=1

@@ -140,19 +140,129 @@ def raster_tri_constants(sx, sy, zinv, keep):
     )
 
 
-def resolve_winner_pallas(px, py, consts, tile_p: int = 2048,
-                          tri_chunk: int = 128) -> jax.Array:
-    """Winning triangle per pixel. px, py: (R,) float32 pixel coords;
-    consts: (T, 16) from raster_tri_constants. Returns (R,) int32."""
-    R = px.shape[0]
-    pad = (-R) % tile_p
-    coords = jnp.stack([px, py], axis=0)  # (2, R)
-    if pad:
-        coords = jnp.concatenate(
-            [coords, jnp.full((2, pad), -1e9, jnp.float32)], axis=1
-        )
-    Rp = R + pad
+def _kernel_masked(mask_ref, px_ref, consts_ref, idx_ref, best_z_ref,
+                   best_idx_ref, *, tri_chunk: int):
+    """Chunk-culled _kernel (identical math — bit-identical winners).
 
+    mask_ref: (n_tiles * n_chunks,) int32 scalar-prefetch keep mask from
+    screen-space chunk AABBs vs pixel-tile rects (chunk_screen_mask).
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    px = px_ref[0:1, :]
+    py = px_ref[1:2, :]
+
+    @pl.when(c == 0)
+    def _():
+        best_z_ref[:, :] = jnp.full_like(best_z_ref[:, :], _NEG_INF)
+        best_idx_ref[:, :] = jnp.full_like(best_idx_ref[:, :], -1)
+
+    @pl.when(mask_ref[i * n_chunks + c] != 0)
+    def _chunk():
+        def col(j):
+            return consts_ref[:, j : j + 1]  # (C, 1)
+
+        e0 = col(0) * px + col(1) * py + col(2)
+        e1 = col(3) * px + col(4) * py + col(5)
+        e2 = col(6) * px + col(7) * py + col(8)
+        sdist = jnp.minimum(jnp.minimum(e0, e1), e2)
+        zpx = col(9) * px + col(10) * py + col(11)
+        covered = (sdist >= 0.0) & (zpx > 0.0) & (col(12) > 0.0)
+        z = jnp.where(covered, zpx, _NEG_INF)
+
+        chunk_max = jnp.max(z, axis=0, keepdims=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, z.shape, dimension=0)
+        # First triangle wins ties (strict > z-test, `rasteriser.cpp:606`).
+        big = jnp.int32(2147483647)
+        chunk_idx = jnp.min(
+            jnp.where(z == chunk_max, rows, big), axis=0, keepdims=True
+        ) + c * tri_chunk
+
+        best_z = best_z_ref[:, :]
+        upd = chunk_max > best_z
+        best_z_ref[:, :] = jnp.where(upd, chunk_max, best_z)
+        best_idx_ref[:, :] = jnp.where(upd, chunk_idx, best_idx_ref[:, :])
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        best_z = best_z_ref[:, :]
+        idx_ref[:, :] = jnp.where(best_z > _NEG_INF, best_idx_ref[:, :], -1)
+
+
+def chunk_screen_mask(sx, sy, zinv, valid, px, py, tile_p: int,
+                      chunk: int) -> jax.Array:
+    """Conservative (n_tiles, n_chunks) keep mask for the raster kernel.
+
+    A covered pixel lies inside its triangle's convex hull, hence inside
+    the triangle's screen AABB — so a pixel tile whose rect misses the
+    union AABB of a chunk's valid triangles can skip the chunk. Triangles
+    with any vertex at zinv <= 0 (behind the camera — their projections
+    are unusable, exactly as in the unculled kernel) inflate their chunk
+    to always-keep.
+
+    sx, sy, zinv: (T, 3) screen verts + vertex 1/z; valid: (T,);
+    px, py: (R,) pixel coords (already tile-ordered), R % tile_p == 0.
+    """
+    T = sx.shape[0]
+    Tp = -(-T // chunk) * chunk
+    pad = Tp - T
+
+    def padv(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        ) if pad else a
+
+    sx_, sy_ = padv(sx, 0.0), padv(sy, 0.0)
+    v = padv(valid, 0.0) > 0.0
+    behind = padv(jnp.min(zinv, axis=1), 1.0) <= 0.0
+    big = jnp.float32(3.0e38)
+    txmin = jnp.where(v, jnp.where(behind, -big, jnp.min(sx_, axis=1)), big)
+    txmax = jnp.where(v, jnp.where(behind, big, jnp.max(sx_, axis=1)), -big)
+    tymin = jnp.where(v, jnp.where(behind, -big, jnp.min(sy_, axis=1)), big)
+    tymax = jnp.where(v, jnp.where(behind, big, jnp.max(sy_, axis=1)), -big)
+    n_chunks = Tp // chunk
+    cxmin = jnp.min(txmin.reshape(n_chunks, chunk), axis=1)
+    cxmax = jnp.max(txmax.reshape(n_chunks, chunk), axis=1)
+    cymin = jnp.min(tymin.reshape(n_chunks, chunk), axis=1)
+    cymax = jnp.max(tymax.reshape(n_chunks, chunk), axis=1)
+
+    n_tiles = px.shape[0] // tile_p
+    pxt = px.reshape(n_tiles, tile_p)
+    pyt = py.reshape(n_tiles, tile_p)
+    rxmin = jnp.min(pxt, axis=1)[:, None]
+    rxmax = jnp.max(pxt, axis=1)[:, None]
+    rymin = jnp.min(pyt, axis=1)[:, None]
+    rymax = jnp.max(pyt, axis=1)[:, None]
+
+    eps = 1e-3  # float slack; coverage boundary pixels must stay kept
+    keep = (
+        (cxmin[None, :] <= rxmax + eps) & (cxmax[None, :] >= rxmin - eps)
+        & (cymin[None, :] <= rymax + eps) & (cymax[None, :] >= rymin - eps)
+    )
+    return keep.astype(jnp.int32)
+
+
+def resolve_winner_pallas(px, py, consts, tile_p: int = 2048,
+                          tri_chunk: int = 128,
+                          screen_verts=None,
+                          image_hw: tuple | None = None) -> jax.Array:
+    """Winning triangle per pixel. px, py: (R,) float32 pixel coords;
+    consts: (T, 16) from raster_tri_constants. Returns (R,) int32.
+
+    screen_verts: optional (sx, sy, zinv) — (T, 3) each, the inputs of
+    raster_tri_constants — enables conservative screen-space chunk
+    culling (chunk_screen_mask) on multi-chunk scenes; winners stay
+    bit-identical. image_hw: (H, W) when the pixels are a row-major grid,
+    for spatially-tight (th, tw) pixel-block tiles.
+    """
+    from raytpu.kernels.intersect_pallas import (
+        _swizzle,
+        _tile_shape,
+        _unswizzle,
+    )
+
+    R = px.shape[0]
     chunk = min(tri_chunk, 128)
     T = ((consts.shape[0] + chunk - 1) // chunk) * chunk
     if T != consts.shape[0]:
@@ -161,6 +271,53 @@ def resolve_winner_pallas(px, py, consts, tile_p: int = 2048,
              jnp.zeros((T - consts.shape[0], 16), jnp.float32)], axis=0
         )
     n_chunks = T // chunk
+
+    cull = screen_verts is not None and n_chunks > 1
+    tiled = _tile_shape(image_hw, tile_p) if cull else None
+    if tiled is not None:
+        th, tw = tiled
+        H, W = image_hw
+        px = _swizzle(px, H, W, th, tw)
+        py = _swizzle(py, H, W, th, tw)
+    pad = (-R) % tile_p
+    coords = jnp.stack([px, py], axis=0)  # (2, R)
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.full((2, pad), -1e9, jnp.float32)], axis=1
+        )
+    Rp = R + pad
+
+    if cull:
+        sx, sy, zinv = screen_verts
+        mask = chunk_screen_mask(sx, sy, zinv, consts[: sx.shape[0], 12],
+                                 coords[0], coords[1], tile_p, chunk)
+        kernel = functools.partial(_kernel_masked, tri_chunk=chunk)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Rp // tile_p, n_chunks),
+            in_specs=[
+                pl.BlockSpec((2, tile_p), lambda i, c, m_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, 16), lambda i, c, m_: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_p), lambda i, c, m_: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, tile_p), jnp.float32),
+                pltpu.VMEM((1, tile_p), jnp.int32),
+            ],
+        )
+        idx = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(mask.reshape(-1), coords, consts)
+        out = idx[0, :R] if tiled is None else _unswizzle(
+            idx[0], image_hw[0], image_hw[1], th, tw
+        )
+        return out
 
     kernel = functools.partial(_kernel, tri_chunk=chunk)
     idx = pl.pallas_call(

@@ -460,7 +460,11 @@ def rasterize_exact(scene: Scene, camera: Camera, lights: Lights,
         )
 
         consts = raster_tri_constants(sx, sy, zinv, keep)
-        winner = resolve_winner_pallas(px, py, jax.lax.stop_gradient(consts))
+        winner = resolve_winner_pallas(
+            px, py, jax.lax.stop_gradient(consts),
+            screen_verts=jax.lax.stop_gradient((sx, sy, zinv)),
+            image_hw=(H, W),
+        )
     else:
         sdist, zpx_f, _, area_ok = _fields_for(
             _pixel_centers(cfg), sx, sy, zinv, pos3d

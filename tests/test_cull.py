@@ -200,7 +200,15 @@ def test_fused_multi_masked_matches_unmasked():
     )
     np.testing.assert_array_equal(np.asarray(h_u.idx), np.asarray(h_m.idx))
     np.testing.assert_array_equal(np.asarray(h_u.t), np.asarray(h_m.t))
-    np.testing.assert_array_equal(np.asarray(occ_u), np.asarray(occ_m))
+    # occ contract: specified only where the primary ray HIT (miss rays'
+    # bits may be culled to 0 — shadow_keep_mask docstring).
+    hit = np.asarray(h_u.hit)
+    np.testing.assert_array_equal(
+        np.asarray(occ_u)[:, hit], np.asarray(occ_m)[:, hit]
+    )
+    assert hit.any()
+    # Culled-away miss bits must only ever flip 1 -> 0, never 0 -> 1.
+    assert not (np.asarray(occ_m) & ~np.asarray(occ_u)).any()
 
 
 def test_big_scene_render_culled_matches_jnp():
@@ -225,3 +233,38 @@ def test_big_scene_render_culled_matches_jnp():
             np.asarray(img_j), np.asarray(img_p), atol=1e-6,
             err_msg=str(kw),
         )
+
+
+def test_raster_culled_matches_brute():
+    """Screen-space chunk culling in the raster winner kernel: winners
+    bit-identical, and the mask actually culls on the cluster scene."""
+    from raytpu.kernels.raster_pallas import (
+        chunk_screen_mask,
+        raster_tri_constants,
+        resolve_winner_pallas,
+    )
+    from raytpu.render.soft import _screen_vertices
+
+    scene = _cluster_scene()
+    cam = Camera.make((0.0, 0.0, -30.0), focal=32.0)
+    cfg = RenderConfig(width=32, height=32)
+    sx, sy, zinv, _pos3d = _screen_vertices(scene, cam, cfg)
+    keep = scene.active
+    consts = raster_tri_constants(sx, sy, zinv, keep)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(32, dtype=jnp.float32), jnp.arange(32, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px, py = xs.reshape(-1), ys.reshape(-1)
+
+    brute = resolve_winner_pallas(px, py, consts, tile_p=512)
+    culled = resolve_winner_pallas(px, py, consts, tile_p=512,
+                                   screen_verts=(sx, sy, zinv),
+                                   image_hw=(32, 32))
+    np.testing.assert_array_equal(np.asarray(brute), np.asarray(culled))
+    assert (np.asarray(brute) >= 0).any()
+
+    mask = np.asarray(chunk_screen_mask(
+        sx, sy, zinv, consts[:, 12], px, py, 512, 128
+    ))
+    assert mask.mean() < 0.9, f"raster cull too weak: keep={mask.mean():.2f}"
