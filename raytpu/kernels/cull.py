@@ -200,6 +200,57 @@ def shadow_keep_mask(primary_keep: jax.Array, centers: jax.Array,
     return (hits > 0.0).astype(jnp.int32)
 
 
+def position_shadow_mask(pos: jax.Array, src_pos: jax.Array,
+                         centers: jax.Array, radii: jax.Array,
+                         tile_r: int) -> jax.Array:
+    """Keep-mask (n_tiles, S, n_chunks) for shadow-only occlusion sweeps
+    with KNOWN surface positions (the sharded path — positions are merged
+    across devices before shadow rays exist).
+
+    Each tile's positions get a bounding sphere; occluder chunk c can
+    affect (tile, source s) only if sphere_c meets hull{src_s, tile
+    sphere} — the same sphere-expanded cone + range-cap test as
+    shadow_keep_mask, but against the tile's own (exact) position bound,
+    so it is fully conservative for every ray including misses (miss
+    positions — the camera origin — are inside the tile bound too).
+    """
+    R = pos.shape[0]
+    n_tiles = R // tile_r
+    p = pos.reshape(n_tiles, tile_r, 3)
+    pmin = jnp.min(p, axis=1)
+    pmax = jnp.max(p, axis=1)
+    p0 = (pmin + pmax) * 0.5                              # (Ti, 3)
+    pr = jnp.linalg.norm((pmax - pmin) * 0.5, axis=-1)    # (Ti,)
+
+    a = src_pos[None, :, :]                               # (1, S, 3)
+    axis = p0[:, None, :] - a                             # (Ti, S, 3)
+    d_t = jnp.linalg.norm(axis, axis=-1)
+    d_t_safe = jnp.maximum(d_t, 1e-30)
+    beta_t = jnp.arcsin(jnp.clip(pr[:, None] / d_t_safe, 0.0, 1.0))
+    inside_t = d_t <= pr[:, None]                         # src in tile bound
+
+    w = centers[None, None, :, :] - a[:, :, None, :]      # (1, S, C, 3)
+    d_c = jnp.linalg.norm(w, axis=-1)                     # (1, S, C)
+    d_c_safe = jnp.maximum(d_c, 1e-30)
+    beta_c = jnp.arcsin(jnp.clip(radii[None, None, :] / d_c_safe,
+                                 0.0, 1.0))
+    cos_ang = jnp.sum(
+        w * (axis / d_t_safe[..., None])[:, :, None, :], axis=-1
+    ) / d_c_safe                                          # (Ti, S, C)
+    ang = jnp.arccos(jnp.clip(cos_ang, -1.0, 1.0))
+    angle_ok = ang <= beta_t[:, :, None] + beta_c + _ANGLE_MARGIN
+    range_ok = (
+        d_c - radii[None, None, :]
+        <= (d_t + pr[:, None])[:, :, None] + 1e-4
+    )
+    origin_in_c = d_c <= radii[None, None, :]
+    keep = (
+        ((angle_ok & range_ok) | inside_t[:, :, None] | origin_in_c)
+        & (radii >= 0.0)[None, None, :]
+    )
+    return keep.astype(jnp.int32)
+
+
 def morton_order(v0, v1, v2, bits: int = 10):
     """Spatial sort permutation by centroid Morton code (numpy, load-time).
 

@@ -942,9 +942,44 @@ def _occlusion_multi_kernel(pos_ref, blk_ref, light_ref, occ_ref, *,
     )
 
 
+def _occlusion_multi_kernel_masked(mask_ref, pos_ref, blk_ref, light_ref,
+                                   occ_ref, *, tri_chunk: int,
+                                   n_chunks: int, n_src: int):
+    """Chunk-culled _occlusion_multi_kernel (bit-identical occ bits —
+    position_shadow_mask is fully conservative, misses included)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    C = tri_chunk
+
+    @pl.when(c == 0)
+    def _():
+        occ_ref[:, :] = jnp.zeros_like(occ_ref[:, :])
+
+    @pl.when(mask_ref[i * (n_src * n_chunks) + c] != 0)
+    def _chunk():
+        d2x = pos_ref[0:1, :] - light_ref[0:1, 0:1]
+        d2y = pos_ref[1:2, :] - light_ref[0:1, 1:2]
+        d2z = pos_ref[2:3, :] - light_ref[0:1, 2:3]
+        t, ok = _chunk_tuv(blk_ref, C, d2x, d2y, d2z)
+        occ = ok & (t < 0.99)
+        any_occ = jnp.max(
+            jnp.where(occ, 1, 0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        s = c // n_chunks
+        src_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (n_src, any_occ.shape[1]), dimension=0
+        )
+        occ_ref[:, :] = jnp.where(
+            src_rows == s,
+            jnp.maximum(occ_ref[:, :], any_occ),
+            occ_ref[:, :],
+        )
+
+
 def occlusion_multi_pallas(
     pos: jax.Array, consts_src: TriConstants, src_pos: jax.Array,
     valid: jax.Array, tile_r: int = 2048, tri_chunk: int = 512,
+    scene_geom: tuple | None = None, image_hw: tuple | None = None,
 ) -> jax.Array:
     """Occlusion of S shadow sources toward precomputed surface positions.
 
@@ -952,6 +987,11 @@ def occlusion_multi_pallas(
     (m (S, T, 3, 3), k0 (S, T)); src_pos: (S, 3); valid: (T,).
     Returns occluded (S, R) bool. Non-differentiable (occlusion is
     piecewise-constant); inputs are gradient-stopped.
+
+    scene_geom: optional (v0, v1, v2) — enables chunk culling from
+    per-tile position bounds (kernels.cull.position_shadow_mask; fully
+    conservative, bit-identical occ for every ray). image_hw: (H, W) for
+    spatially-tight pixel-block tiles.
     """
     pos = jax.lax.stop_gradient(pos)
     m_s = jax.lax.stop_gradient(consts_src.m)
@@ -961,13 +1001,6 @@ def occlusion_multi_pallas(
 
     R = pos.shape[0]
     S = m_s.shape[0]
-    pad = (-R) % tile_r
-    pos_t = pos.T
-    if pad:
-        pos_t = jnp.concatenate(
-            [pos_t, jnp.zeros((3, pad), pos.dtype)], axis=1
-        )
-    Rp = R + pad
     T = m_s.shape[1]
     chunk = _tight_chunk(T, tri_chunk)
     blocks = []
@@ -976,6 +1009,63 @@ def occlusion_multi_pallas(
         blocks.append(blk_s)
     blocked = jnp.concatenate(blocks, axis=0)
     lights = jnp.zeros((S * 8, 128), jnp.float32).at[::8, 0:3].set(src_pos)
+
+    cull = scene_geom is not None and n_chunks > 1
+    tiled = _tile_shape(image_hw, tile_r) if cull else None
+    if tiled is not None:
+        th, tw = tiled
+        H, W = image_hw
+        pos_swz = _swizzle(pos, H, W, th, tw)
+        pos_t = pos_swz.T
+        Rp = R
+    else:
+        pad = (-R) % tile_r
+        pos_swz = pos
+        pos_t = pos.T
+        if pad:
+            # Replicate the last real position (junk pads would blow up
+            # the last tile's position bound when culling).
+            pos_t = jnp.concatenate(
+                [pos_t, jnp.tile(pos_t[:, -1:], (1, pad))], axis=1
+            )
+            pos_swz = pos_t.T
+        Rp = R + pad
+
+    if cull:
+        from raytpu.kernels.cull import chunk_spheres, position_shadow_mask
+
+        v0, v1, v2 = scene_geom
+        centers, radii = chunk_spheres(v0, v1, v2, valid, chunk)
+        mask = position_shadow_mask(pos_swz, src_pos, centers, radii,
+                                    tile_r).reshape(Rp // tile_r, -1)
+        kernel = functools.partial(_occlusion_multi_kernel_masked,
+                                   tri_chunk=chunk, n_chunks=n_chunks,
+                                   n_src=S)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Rp // tile_r, S * n_chunks),
+            in_specs=[
+                pl.BlockSpec((3, tile_r), lambda i, c, m_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * chunk, 3), lambda i, c, m_: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i, c, m_: (c // n_chunks, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S, tile_r), lambda i, c, m_: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        occ = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((S, Rp), jnp.int32),
+            interpret=_interpret_mode(),
+        )(mask.reshape(-1), pos_t, blocked, lights)
+        if tiled is not None:
+            occ = _unswizzle(occ.T, H, W, th, tw).T
+        else:
+            occ = occ[:, :R]
+        return occ.astype(bool)
 
     grid = (Rp // tile_r, S * n_chunks)
     kernel = functools.partial(_occlusion_multi_kernel, tri_chunk=chunk,

@@ -67,16 +67,29 @@ def _scene_block(scene: Scene, axis_name: str) -> tuple[Scene, jax.Array]:
 
 
 def _merged_intersect(start, dirs, block: Scene, base, cfg: RenderConfig,
-                      axis_name: str):
+                      axis_name: str, image_hw: tuple | None = None):
     """Closest hit against the FULL scene from per-shard triangle blocks.
 
     Local closest hits (t, global idx) are all_gathered over the model axis
     and merged in ascending block order with the reference's
     last-wins-on-ties rule (`raytracer.cpp:243`).
     Returns (t, idx, hit) with t = ray parameter.
+
+    image_hw: (rows, W) of this shard's pixel block — enables chunk
+    culling (kernels.cull) on multi-chunk (STL-scale) triangle blocks.
     """
-    h = intersect(dirs, tri_constants(block, start),
-                  tri_chunk=cfg.tri_chunk, use_pallas=cfg.pallas_enabled)
+    if cfg.pallas_enabled and block.num_triangles > 128:
+        from raytpu.kernels.intersect_pallas import intersect_pallas_culled
+
+        h = intersect_pallas_culled(
+            dirs, tri_constants(block, start), start,
+            block.v0, block.v1, block.v2,
+            tri_chunk=cfg.tri_chunk, image_hw=image_hw,
+        )
+    else:
+        h = intersect(dirs, tri_constants(block, start),
+                      tri_chunk=cfg.tri_chunk,
+                      use_pallas=cfg.pallas_enabled)
     t_local = jnp.where(h.hit, h.t, _F32MAX)
     idx_local = jnp.where(h.hit, h.idx + base, -1)
     ts = jax.lax.all_gather(t_local, axis_name)      # (nm, R)
@@ -112,7 +125,8 @@ def _shadow_sources(lights: Lights, cfg: RenderConfig) -> jax.Array:
 
 
 def _merged_occlusion_rows(pos, block: Scene, src_pos, cfg: RenderConfig,
-                           axis_name: str) -> jax.Array:
+                           axis_name: str,
+                           image_hw: tuple | None = None) -> jax.Array:
     """(S, R) occlusion bits against the FULL scene from per-shard blocks.
 
     Each device any-hit-tests its triangle block for every shadow source
@@ -129,6 +143,11 @@ def _merged_occlusion_rows(pos, block: Scene, src_pos, cfg: RenderConfig,
         occ_local = occlusion_multi_pallas(
             pos, consts_src, src_pos, block.active,
             tri_chunk=cfg.tri_chunk,
+            scene_geom=(
+                (block.v0, block.v1, block.v2)
+                if block.num_triangles > 128 else None
+            ),
+            image_hw=image_hw,
         )
     else:
         rows = []
@@ -171,7 +190,8 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
         t, idx, hit = _merged_intersect(
-            camera.pos, dirs, block, base, cfg, MODEL_AXIS
+            camera.pos, dirs, block, base, cfg, MODEL_AXIS,
+            image_hw=(rows, cfg.width),
         )
         t_safe = jnp.where(hit, t, 0.0)
         pos = camera.pos[None, :] + t_safe[:, None] * dirs
@@ -184,7 +204,8 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
         rec_dist = jnp.minimum(rec_dist, dist)
 
         occ_rows = _merged_occlusion_rows(pos, block, src_pos, cfg,
-                                          MODEL_AXIS)
+                                          MODEL_AXIS,
+                                          image_hw=(rows, cfg.width))
         direct = direct_light(pos, idx_safe, scene, lights, cfg,
                               occlusion_rows=occ_rows)
         albedo = scene.color[idx_safe]

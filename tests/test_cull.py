@@ -268,3 +268,47 @@ def test_raster_culled_matches_brute():
         sx, sy, zinv, consts[:, 12], px, py, 512, 128
     ))
     assert mask.mean() < 0.9, f"raster cull too weak: keep={mask.mean():.2f}"
+
+
+def test_sharded_big_scene_culled_matches_unsharded():
+    """Sharded render of a multi-chunk (>128-tri) scene: each shard's
+    culled kernels (primary + position-bound shadow masks) must still
+    reproduce the single-device clean render."""
+    from raytpu.core.types import Lights
+    from raytpu.parallel.mesh import make_mesh
+    from raytpu.parallel.render import make_sharded_render
+    from raytpu.render.raytrace import raytrace_full
+
+    scene = _cluster_scene()  # 512 tris -> 256-tri blocks at model=2
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=1, position=(0.0, -2.0, -1.0))
+    cfg = RenderConfig(width=16, height=16, mode="clean", use_pallas=True)
+    mesh = make_mesh(data=4, model=2)
+    img = np.asarray(make_sharded_render(mesh, cfg)(scene, cam, lights))
+    ref = np.asarray(raytrace_full(scene, cam, lights, cfg).image)
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_occlusion_multi_masked_matches_unmasked():
+    """Shadow-only masked kernel (known positions) — occ bits must be
+    bit-identical for EVERY ray (position_shadow_mask is fully
+    conservative, misses included)."""
+    from raytpu.kernels.intersect_pallas import occlusion_multi_pallas
+    from raytpu.ops.intersect import hit_positions
+
+    scene = _cluster_scene()
+    cam, dirs = _camera_dirs(32)
+    consts = tri_constants(scene, cam.pos)
+    hits = intersect(dirs, consts)
+    pos = hit_positions(cam.pos, dirs, hits)
+    src_pos = jnp.asarray(
+        [[0.0, -2.0, -1.0], [3.0, 1.0, 2.0]], jnp.float32
+    )
+    consts_src = jax.vmap(lambda o: tri_constants(scene, o))(src_pos)
+
+    occ_u = occlusion_multi_pallas(pos, consts_src, src_pos, scene.active)
+    occ_m = occlusion_multi_pallas(
+        pos, consts_src, src_pos, scene.active,
+        scene_geom=(scene.v0, scene.v1, scene.v2), image_hw=(32, 32),
+    )
+    np.testing.assert_array_equal(np.asarray(occ_u), np.asarray(occ_m))
