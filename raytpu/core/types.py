@@ -271,6 +271,42 @@ class Lights:
             jitter=self.jitter.at[idx].set(position[None, :] + jit_off),
         )
 
+    def compact(self) -> "Lights":
+        """Strip inactive slots (host-side) so render cost scales with the
+        ACTIVE light count, not the bank capacity.
+
+        The reference light bank is a fixed 32-slot array scanned via
+        ``NUM_LIGHTS`` (`raytracer.cpp:47-48`) — in raytpu the per-light
+        shading loop and the fused multi-source shadow kernel unroll over
+        ``capacity``, so a capacity-32 bank with one active light would pay
+        32x the shading and 33 kernel phases. Inactive slots contribute
+        exactly zero in both 'clean' and 'parity' modes (the parity run-on
+        accumulation only folds in ``mask_k * ...`` terms), and compaction
+        preserves the relative order of active slots, so results are
+        unchanged.
+
+        No-op under tracing (mask is abstract) — callers inside jit keep
+        their static capacity; the public render wrappers compact at the
+        host boundary before entering jit.
+        """
+        if isinstance(self.mask, jax.core.Tracer):
+            return self
+        mask = np.asarray(self.mask)
+        keep = np.flatnonzero(mask > 0.0)
+        n = max(int(keep.size), 1)
+        if n == self.capacity:
+            return self
+        if keep.size == 0:
+            keep = np.array([0])  # keep one (inactive) slot: shapes stay >0
+        take = jnp.asarray(keep, jnp.int32)
+        return Lights(
+            position=self.position[take],
+            color=self.color[take],
+            intensity=self.intensity[take],
+            mask=self.mask[take],
+            jitter=self.jitter[take],
+        )
+
     def delete_last(self) -> "Lights":
         """Functional DeleteLight (`raytracer.cpp:195-199`): deactivates the
         highest active slot."""

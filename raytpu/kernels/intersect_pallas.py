@@ -878,9 +878,13 @@ def intersect_occluded_multi_pallas(
             idx = idx[:R]
             occ = occ[:, :R]
         hit = t < _F32MAX
+        # Contract: occlusion bits are DEFINED (0) on primary-miss lanes.
+        # Without this, culling may zero some miss-lane bits the unculled
+        # kernel would set — consumers today mask misses via composite(),
+        # but debug dumps / future shading terms must not read junk.
         return (
             Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
-            occ.astype(bool),
+            occ.astype(bool) & hit[None, :],
         )
 
     pad = (-R) % tile_r
@@ -898,9 +902,10 @@ def intersect_occluded_multi_pallas(
     t = t[:R]
     idx = idx[:R]
     hit = t < _F32MAX
+    # Same defined-on-miss contract as the culled branch above.
     return (
         Hits(t=t, idx=idx.astype(jnp.int32), hit=hit),
-        occ[:, :R].astype(bool),
+        occ[:, :R].astype(bool) & hit[None, :],
     )
 
 

@@ -348,10 +348,11 @@ def pixel_shade(g: GBuffer, scene: Scene, camera: Camera, lights: Lights,
         precision=jax.lax.Precision.HIGHEST,
     ) + camera.pos
 
-    fd = jnp.where(
-        hit, jnp.linalg.norm(world - camera.pos, axis=-1) - camera.dof_focus,
-        0.0,
-    )
+    # Guarded norms: sqrt(0) has an infinite derivative, and a masking
+    # `where` AFTER the sqrt does not stop the NaN cotangent.
+    cam_d2 = jnp.sum((world - camera.pos) ** 2, axis=-1)
+    cam_d = jnp.sqrt(jnp.where(cam_d2 > 0.0, cam_d2, 1.0))
+    fd = jnp.where(hit & (cam_d2 > 0.0), cam_d - camera.dof_focus, 0.0)
 
     normals = scene.normals()
     n_dir = normals[safe]
@@ -359,14 +360,18 @@ def pixel_shade(g: GBuffer, scene: Scene, camera: Camera, lights: Lights,
     for k in range(lights.capacity):
         delta = world - lights.position[k][None, :]
         r2 = jnp.sum(delta * delta, axis=-1)
-        r = jnp.sqrt(r2)
-        A = 4.0 * jnp.pi * r2
+        # r = 0 when a (fitted) light sits exactly on the shaded point.
+        lit = r2 > 0.0
+        r2s = jnp.where(lit, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        A = 4.0 * jnp.pi * r2s
         light_color = lights.color[k] * lights.intensity[k]
         r_dir = -delta / r[:, None]
         lam = jnp.maximum(jnp.sum(r_dir * n_dir, axis=-1), 0.0)
-        result = result + lights.mask[k] * (
-            light_color[None, :] / A[:, None]
-        ) * lam[:, None]
+        result = result + lights.mask[k] * jnp.where(
+            lit[:, None],
+            (light_color[None, :] / A[:, None]) * lam[:, None], 0.0,
+        )
 
     color = (result + jnp.float32(cfg.ambient)) * scene.color[safe]
     return jnp.where(hit[:, None], color, 0.0), fd

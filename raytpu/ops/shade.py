@@ -84,12 +84,20 @@ def direct_light(
                 position = lights.position[k]  # (`:290`)
 
             delta = hit_pos - position[None, :]
-            r = jnp.linalg.norm(delta, axis=-1)
+            # r = 0 when a (fitted) light lands exactly on a surface point:
+            # guard BOTH the sqrt input and the reciprocals — `where` after
+            # the fact does NOT stop NaN cotangents (CLAUDE.md invariant).
+            # Where r > 0 the guarded values are bit-identical to the
+            # unguarded formulation (r*r round-trips through sqrt exactly
+            # for the guarded-away case only).
+            r2 = jnp.sum(delta * delta, axis=-1)
+            lit = r2 > 0.0
+            r = jnp.sqrt(jnp.where(lit, r2, 1.0))
             A = 4.0 * jnp.pi * (r * r)  # (`:295`)
             r_dir = -delta / r[:, None]  # normalize(position - pos) (`:298`)
             B = P[None, :] / A[:, None]
             lam = jnp.maximum(jnp.sum(r_dir * n_dir, axis=-1), 0.0)
-            D = B * lam[:, None]
+            D = jnp.where(lit[:, None], B * lam[:, None], 0.0)
 
             # Shadow ray from the light toward the surface (`:307-315`).
             if occlusion_rows is not None:
@@ -130,14 +138,18 @@ def irradiance_no_shadow(world: jax.Array, n_dir: jax.Array,
     for k in range(lights.capacity):
         delta = world - lights.position[k]
         r2 = jnp.sum(delta * delta, axis=-1)
-        r = jnp.sqrt(r2)
-        A = 4.0 * jnp.pi * r2
+        # Guard r = 0 (light exactly on the shaded point): see direct_light.
+        lit = r2 > 0.0
+        r2s = jnp.where(lit, r2, 1.0)
+        r = jnp.sqrt(r2s)
+        A = 4.0 * jnp.pi * r2s
         light_color = lights.color[k] * lights.intensity[k]
         r_dir = -delta / r[..., None]
         lam = jnp.maximum(jnp.sum(r_dir * n_dir, axis=-1), 0.0)
-        result = result + lights.mask[k] * (
-            light_color / A[..., None]
-        ) * lam[..., None]
+        result = result + lights.mask[k] * jnp.where(
+            lit[..., None], (light_color / A[..., None]) * lam[..., None],
+            0.0,
+        )
     return result
 
 

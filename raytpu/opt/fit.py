@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from raytpu.core.types import Camera, Lights, RenderConfig, Scene
+from raytpu.utils.profiling import FrameTimer, log_metrics
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +39,14 @@ class FitConfig:
     checkpoint_every: int = 100
     checkpoint_dir: str | None = None
     log_every: int = 50
+    # Structured metrics: one JSON line per log_every steps
+    # ({"step", "stage", "loss", "grad_norm", "mrays_per_s", "ms_per_step"})
+    # via utils.profiling.log_metrics; stream defaults to stderr.
+    metrics_stream: object = None
+    # Dump the current render as BMP every N steps (0 = off) into
+    # image_dump_dir (defaults to checkpoint_dir).
+    image_dump_every: int = 0
+    image_dump_dir: str | None = None
 
 
 class FitState(NamedTuple):
@@ -104,6 +113,8 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
 
     losses = []
     step_counter = start_step
+    rays_per_step = 2 * render_cfg.width * render_cfg.height  # fwd + bwd
+    timer = FrameTimer(rays_per_frame=rays_per_step)
     for stage_i, (edge_s, z_s, frac) in enumerate(fit_cfg.stages):
         cfg = render_cfg.replace(
             mode="soft", soft_edge_sharpness=edge_s, soft_z_sharpness=z_s
@@ -118,17 +129,30 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                 return jnp.mean((img - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return (optax.apply_updates(params, updates), opt_state, loss,
+                    gnorm)
 
         for _ in range(n_steps):
-            params, opt_state, loss = train_step(params, opt_state)
+            with timer.frame():
+                params, opt_state, loss, gnorm = jax.block_until_ready(
+                    train_step(params, opt_state)
+                )
             losses.append(float(loss))
             step_counter += 1
             if (fit_cfg.log_every
                     and step_counter % fit_cfg.log_every == 0):
-                print(f"[fit] stage {stage_i} step {step_counter} "
-                      f"loss {float(loss):.6f}", flush=True)
+                log_metrics(
+                    step_counter, stream=fit_cfg.metrics_stream,
+                    stage=stage_i, loss=loss, grad_norm=gnorm,
+                    ms_per_step=timer.last_ms,
+                    mrays_per_s=timer.mrays_per_s(),
+                )
+            if (fit_cfg.image_dump_every
+                    and step_counter % fit_cfg.image_dump_every == 0):
+                _dump_image(render(params[0], camera, params[1], cfg),
+                            fit_cfg, step_counter)
             if (fit_cfg.checkpoint_dir
                     and step_counter % fit_cfg.checkpoint_every == 0):
                 save_checkpoint(
@@ -141,6 +165,16 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
     scene, lights = params
     return FitResult(scene=scene, lights=lights,
                      losses=np.asarray(losses))
+
+
+def _dump_image(img, fit_cfg: FitConfig, step: int) -> None:
+    """Periodic render dump (observability; SURVEY §5 metrics row)."""
+    from raytpu.core.image import write_bmp
+
+    out_dir = fit_cfg.image_dump_dir or fit_cfg.checkpoint_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    write_bmp(os.path.join(out_dir, f"fit_{step:06d}.bmp"),
+              np.asarray(img))
 
 
 # ---------------------------------------------------------------------------

@@ -38,9 +38,16 @@ class RasterOut(NamedTuple):
     gbuffer: GBuffer
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def rasterize_full(scene: Scene, camera: Camera, lights: Lights,
                    cfg: RenderConfig) -> RasterOut:
+    """Render a full frame. Compacts the light bank at the host boundary
+    (no-op under tracing) so shading cost scales with ACTIVE lights."""
+    return _rasterize_full(scene, camera, lights.compact(), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _rasterize_full(scene: Scene, camera: Camera, lights: Lights,
+                    cfg: RenderConfig) -> RasterOut:
     keep = cull_mask(scene, camera, cfg)
     vd = vertex_stage(scene, camera, cfg)
     bounds = row_bounds(vd, cfg)
@@ -59,7 +66,7 @@ def rasterize(scene: Scene, camera: Camera, lights: Lights,
         from raytpu.render.soft import rasterize_soft
 
         return jax.jit(rasterize_soft, static_argnames=("cfg",))(
-            scene, camera, lights, cfg
+            scene, camera, lights.compact(), cfg
         )
     if cfg.mode == "clean":
         # Float-precise hard rasterization (the soft path's hard limit);
@@ -67,6 +74,6 @@ def rasterize(scene: Scene, camera: Camera, lights: Lights,
         from raytpu.render.soft import rasterize_exact
 
         return jax.jit(rasterize_exact, static_argnames=("cfg",))(
-            scene, camera, lights, cfg
+            scene, camera, lights.compact(), cfg
         )
     return rasterize_full(scene, camera, lights, cfg).image

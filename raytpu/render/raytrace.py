@@ -82,10 +82,20 @@ def _subpixel_offsets(cfg: RenderConfig):
     ]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def raytrace_full(scene: Scene, camera: Camera, lights: Lights,
                   cfg: RenderConfig) -> RenderOut:
-    """Render a full frame; returns image and DoF focal distances."""
+    """Render a full frame; returns image and DoF focal distances.
+
+    Compacts the light bank at the host boundary (no-op under tracing) so
+    cost scales with ACTIVE lights — a default capacity-32 bank with one
+    light renders as cheaply as a capacity-1 bank.
+    """
+    return _raytrace_full(scene, camera, lights.compact(), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
+                   cfg: RenderConfig) -> RenderOut:
     xs, ys = pixel_grid(cfg)
     consts = tri_constants(scene, camera.pos)
 
@@ -212,6 +222,6 @@ def raytrace(scene: Scene, camera: Camera, lights: Lights,
         from raytpu.render.soft import raytrace_soft
 
         return jax.jit(raytrace_soft, static_argnames=("cfg",))(
-            scene, camera, lights, cfg
+            scene, camera, lights.compact(), cfg
         )
     return raytrace_full(scene, camera, lights, cfg).image

@@ -189,7 +189,10 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
             else:
                 position = lights.position[k]
             delta = world - position
-            r = jnp.linalg.norm(delta, axis=-1)
+            # Guard r = 0 (light on the aggregated surface point) — the
+            # sqrt AND the reciprocal both need it for finite grads.
+            r2 = jnp.sum(delta * delta, axis=-1)
+            r = jnp.sqrt(jnp.where(r2 > 0.0, r2, 1.0))
             d_hat = delta / r[..., None]
 
             def body(trans, ch, position=position, r=r, d_hat=d_hat):

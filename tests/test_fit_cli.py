@@ -75,6 +75,39 @@ def test_cli_render_commands(tmp_path):
     assert read_bmp(out3).shape == (32, 32, 3)
 
 
+def test_fit_metrics_stream_and_image_dumps(tmp_path):
+    """fit() emits structured JSON metrics + periodic image dumps
+    (observability wiring — SURVEY §5 metrics/logging row)."""
+    import io
+    import json
+    import os
+
+    scene, cam, target = _target_and_cfg()
+    li0 = Lights.single(capacity=1, intensity=8.0,
+                        position=(0.2, -0.3, -0.5))
+    stream = io.StringIO()
+    fit(
+        target, scene, cam, li0,
+        RenderConfig(width=SIZE, height=SIZE, mode="soft"),
+        FitConfig(steps=8, log_every=2, metrics_stream=stream,
+                  image_dump_every=4, image_dump_dir=str(tmp_path),
+                  stages=((10.0, 20.0, 1.0),)),
+    )
+    records = [json.loads(line) for line in
+               stream.getvalue().strip().splitlines()]
+    assert len(records) == 4  # steps 2, 4, 6, 8
+    for rec in records:
+        for key in ("step", "stage", "loss", "grad_norm", "ms_per_step",
+                    "mrays_per_s"):
+            assert key in rec, f"missing {key}: {rec}"
+        assert rec["grad_norm"] > 0.0
+        assert np.isfinite(rec["loss"])
+    assert records[0]["step"] == 2
+    dumps = sorted(os.listdir(tmp_path))
+    assert "fit_000004.bmp" in dumps and "fit_000008.bmp" in dumps
+    assert read_bmp(str(tmp_path / "fit_000008.bmp")).shape == (SIZE, SIZE, 3)
+
+
 def test_cli_multi_light_and_features(tmp_path):
     from raytpu.cli.main import main
 
