@@ -12,9 +12,11 @@ chip exists; run with JAX_PLATFORMS=cpu and
 --xla_force_host_platform_device_count=8 to exercise the code path (the
 numbers are then CPU-simulation artifacts, clearly labeled).
 
-Multi-host usage: call `jax.distributed.initialize()` first (standard JAX
-multi-process launch); `jax.devices()` then spans hosts and the same mesh
-code shards over ICI within hosts and DCN across.
+Multi-host usage: pass --multihost (each process of the launch runs the
+same command; coordinator/rank come from RAYTPU_*/JAX env or pod
+auto-detection — see raytpu.parallel.distributed). `jax.devices()` then
+spans hosts and the same mesh code shards over ICI within hosts and DCN
+across; only process 0 prints the final JSON.
 """
 
 from __future__ import annotations
@@ -32,7 +34,19 @@ def main(argv=None):
     ap.add_argument("--train", action="store_true",
                     help="benchmark the fwd+bwd train step")
     ap.add_argument("--model-axis", type=int, default=1)
+    ap.add_argument("--multihost", action="store_true",
+                    help="bootstrap jax.distributed before benchmarking "
+                         "(coordinator/rank from RAYTPU_*/JAX env or pod "
+                         "auto-detection)")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        from raytpu.parallel import init_distributed
+
+        dist = init_distributed()
+        print(f"# multihost: enabled={dist.enabled} "
+              f"process {dist.process_id}/{dist.num_processes}",
+              file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
@@ -124,9 +138,11 @@ def main(argv=None):
         })
         print(json.dumps(results[-1]), file=sys.stderr)
 
-    print(json.dumps({"metric": "scaling", "size": args.size,
-                      "train": args.train, "backend": backend,
-                      "results": results}))
+    if jax.process_index() == 0:
+        print(json.dumps({"metric": "scaling", "size": args.size,
+                          "train": args.train, "backend": backend,
+                          "processes": jax.process_count(),
+                          "results": results}))
 
 
 if __name__ == "__main__":

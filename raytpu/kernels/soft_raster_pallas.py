@@ -1,0 +1,516 @@
+"""Fused soft-rasterizer Pallas kernel with a custom VJP.
+
+The differentiable rasterizer (raytpu.render.soft.rasterize_soft — the
+soft z-buffer relaxation of `rasteriser.cpp:606`'s z-test over the
+cleared-to-0 depth buffer `rasteriser.cpp:188`) is the project's thesis,
+but its jnp formulation materializes per-(pixel, triangle-chunk) fields in
+HBM each scan step, and the backward pass re-reads every residual —
+~16 ms fwd+bwd at 512^2 on one v5e chip. This kernel keeps the whole
+online-softmax aggregation in VMEM:
+
+  forward   grid (pixel_tile, tri_chunk), chunk fastest; running
+            (m, s, acc_rgb) carry in VMEM scratch; per step the chunk's
+            logits and shaded colors are computed in-register from a
+            per-triangle constants table. Outputs img (3, R) plus the
+            (m, s) softmax residuals.
+
+  backward  grid (tri_chunk, pixel_tile), tile fastest; recomputes the
+            chunk terms at the saved (m, s) and applies jax.vjp of the
+            chunk-contribution function in-kernel. d(consts) accumulates
+            across pixel tiles into a per-chunk output block; d(lights)
+            and d(globals) accumulate across the whole grid. The softmax
+            shift m is a saved residual treated as constant — exactly
+            right, since img = acc/s is invariant to m (numerator and
+            denominator both carry exp(-m)), so dL/dm == 0 analytically.
+
+Differentiation boundary: the custom_vjp wraps tables, not pytrees — the
+(T, 48) triangle constants, (1, 16) camera globals and (L, 8) light table
+are built in jnp from Scene/Camera/Lights, so autodiff chains end-to-end
+(vertex positions, camera pose, light parameters all receive gradients).
+
+Numerics match raytpu.render.soft.rasterize_soft to ~1e-5 rel (the edge
+functions are evaluated from precomputed plane coefficients instead of
+vertex differences, and quotients by a shared divisor use one reciprocal
+per CLAUDE.md's VPU-divide rule — algebraically identical, fp-reassociated).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CONST_COLS = 32
+
+
+def soft_tri_constants(sx, sy, zinv, pos3d, color, normal, keep):
+    """Per-triangle constants table for the soft kernel.
+
+    sx, sy, zinv: (T, 3) float screen verts + vertex 1/z;
+    pos3d: (T, 3, 3) camera-space pos/z per vertex; color/normal: (T, 3);
+    keep: (T,). Returns (T, 32) float32 rows:
+
+      0-5   vertex screen coords ax ay bx by cx cy
+      6-8   edge scale factors s_k = orient / (|edge_k| + 1e-12)
+      9     1 / area_safe (signed; barycentric normalization)
+      10-12 vertex zinv
+      13-21 pos3d row-major (v0 xyz, v1 xyz, v2 xyz)
+      22-24 albedo rgb
+      25-27 normal xyz
+      28    valid = keep * (|area| > 1e-4)
+      29-31 zero padding
+
+    Edge values and barycentrics are evaluated IN-KERNEL from the vertex
+    coordinates (differences first, products after) — evaluating
+    precomputed affine planes A px + B py + C instead loses ~3 digits to
+    f32 cancellation at 500-px coordinate magnitudes, which showed up as
+    ~1% vertex-gradient error vs the jnp path. Conventions match
+    render.soft._fields_for (orientation sign, 1e-12 norm slack, 1e-4
+    px^2 degenerate-area cutoff).
+    """
+    ax, ay = sx[:, 0], sy[:, 0]
+    bx, by = sx[:, 1], sy[:, 1]
+    cx, cy = sx[:, 2], sy[:, 2]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    area_ok = jnp.abs(area) > 1e-4
+    area_safe = jnp.where(jnp.abs(area) > 1e-12, area, 1e-12)
+    orient = jnp.sign(area_safe)
+
+    def edge_scale(x0, y0, x1, y1):
+        ex = x1 - x0
+        ey = y1 - y0
+        # Guard sqrt(0) for degenerate (padded) edges — the edge value is
+        # identically 0 there, but sqrt'(0) = inf NaNs vertex/camera
+        # grads (CLAUDE.md grad-safety invariant; same guard as
+        # render.soft._fields_for).
+        n2 = ex * ex + ey * ey
+        return orient / (jnp.sqrt(jnp.where(n2 > 0.0, n2, 1.0)) + 1e-12)
+
+    s0 = edge_scale(ax, ay, bx, by)
+    s1 = edge_scale(bx, by, cx, cy)
+    s2 = edge_scale(cx, cy, ax, ay)
+
+    valid = keep * area_ok.astype(jnp.float32)
+    cols = [
+        ax, ay, bx, by, cx, cy,
+        s0, s1, s2,
+        1.0 / area_safe,
+        zinv[:, 0], zinv[:, 1], zinv[:, 2],
+        pos3d[:, 0, 0], pos3d[:, 0, 1], pos3d[:, 0, 2],
+        pos3d[:, 1, 0], pos3d[:, 1, 1], pos3d[:, 1, 2],
+        pos3d[:, 2, 0], pos3d[:, 2, 1], pos3d[:, 2, 2],
+        color[:, 0], color[:, 1], color[:, 2],
+        normal[:, 0], normal[:, 1], normal[:, 2],
+        valid,
+    ]
+    zeros = jnp.zeros_like(ax)
+    cols += [zeros] * (_CONST_COLS - len(cols))
+    return jnp.stack(cols, axis=1)
+
+
+def camera_globals(camera, cfg) -> jax.Array:
+    """(1, 16) row: inv_rot row-major (9), camera pos (3), zero pad."""
+    from raytpu.ops.raster import glm_inverse3
+
+    inv_rot = glm_inverse3(camera.rotation())
+    return jnp.concatenate(
+        [inv_rot.reshape(-1), camera.pos, jnp.zeros((4,), jnp.float32)]
+    )[None, :]
+
+
+def lights_table(lights) -> jax.Array:
+    """(L, 8) rows: position (3), color (3), intensity, mask."""
+    return jnp.concatenate(
+        [
+            lights.position,
+            lights.color,
+            lights.intensity[:, None],
+            lights.mask[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
+    """Per-(triangle, pixel) logit and shaded color for one chunk.
+
+    cs: (C, 48) constants; gl: (1, 16) globals; lt: (L, 8) lights;
+    px, py: (1, P). Returns logit, sh0, sh1, sh2 — each (C, P).
+
+    Pure jnp on 2D values: runs identically inside the Pallas kernel
+    (on loaded blocks) and in plain XLA (tests), and is jax.vjp-able
+    in-kernel for the backward pass. Mirrors render.soft._fields_for +
+    _shade_chunk term-for-term (see module docstring for the two
+    documented fp reassociations).
+    """
+
+    def col(j):
+        return cs[:, j:j + 1]  # (C, 1)
+
+    def g(j):
+        return gl[:, j:j + 1]  # (1, 1)
+
+    ax, ay = col(0), col(1)
+    bx, by = col(2), col(3)
+    cx, cy = col(4), col(5)
+
+    def edge(x0, y0, x1, y1, sk):
+        # Differences first, products after — see soft_tri_constants's
+        # layout note on f32 cancellation.
+        return ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * sk
+
+    e0 = edge(ax, ay, bx, by, col(6))
+    e1 = edge(bx, by, cx, cy, col(7))
+    e2 = edge(cx, cy, ax, ay, col(8))
+    hp_min = jnp.minimum(jnp.minimum(e0, e1), e2)
+
+    def seg(x0, y0, x1, y1):
+        # Exact distance to the edge SEGMENT (outside pixels; the
+        # half-plane min is only a distance inside the triangle).
+        ex = x1 - x0
+        ey = y1 - y0
+        rec = 1.0 / (ex * ex + ey * ey + 1e-12)
+        tpar = jnp.clip(
+            ((px - x0) * ex + (py - y0) * ey) * rec, 0.0, 1.0
+        )
+        dx = px - (x0 + tpar * ex)
+        dy = py - (y0 + tpar * ey)
+        return jnp.sqrt(dx * dx + dy * dy + 1e-20)
+
+    seg_min = jnp.minimum(
+        jnp.minimum(seg(ax, ay, bx, by), seg(bx, by, cx, cy)),
+        seg(cx, cy, ax, ay),
+    )
+    sdist = jnp.where(hp_min >= 0.0, hp_min, -seg_min)
+
+    inv_area = col(9)
+    l0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) * inv_area
+    l1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) * inv_area
+    l2 = 1.0 - l0 - l1
+    l0c = jnp.clip(l0, 0.0, 1.0)
+    l1c = jnp.clip(l1, 0.0, 1.0)
+    l2c = jnp.clip(l2, 0.0, 1.0)
+    lrec = 1.0 / (l0c + l1c + l2c + 1e-12)
+    l0c = l0c * lrec
+    l1c = l1c * lrec
+    l2c = l2c * lrec
+
+    zpx = l0c * col(10) + l1c * col(11) + l2c * col(12)
+    # Full-logit formulation, same as the jnp path. (A cheaper variant
+    # that max-shifts only the zs*zpx term and multiplies
+    # sigmoid(es*sdist) outside the exp NaNs at extreme sharpness: when
+    # the winning hypothesis's coverage sigmoid underflows to 0 and the
+    # background weight exp(0 - m) underflows too, the denominator hits
+    # exactly 0. Tracking the max of the FULL logit guarantees the
+    # maximal hypothesis always contributes weight 1. The saving was
+    # ~3% — not worth the failure mode.)
+    logit = (
+        zs * zpx
+        + jax.nn.log_sigmoid(es * sdist)
+        + jnp.log(col(28) + 1e-20)
+    )
+
+    # World position: (ppx / zpx) @ inv_rot + campos (`rasteriser.cpp:557`).
+    zrec = 1.0 / jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
+    p = [
+        (l0c * col(13 + j) + l1c * col(16 + j) + l2c * col(19 + j)) * zrec
+        for j in range(3)
+    ]
+    w = [
+        p[0] * g(0 + j) + p[1] * g(3 + j) + p[2] * g(6 + j) + g(9 + j)
+        for j in range(3)
+    ]
+
+    n0, n1, n2 = col(25), col(26), col(27)
+    irr = [jnp.zeros_like(e0) for _ in range(3)]
+    for k in range(capacity):
+        lk = lt[k:k + 1, :]
+        d = [w[j] - lk[:, j:j + 1] for j in range(3)]
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        lit = r2 > 0.0
+        r2s = jnp.where(lit, r2, 1.0)
+        rrec = jax.lax.rsqrt(r2s)
+        lam = jnp.maximum(-(d[0] * n0 + d[1] * n1 + d[2] * n2) * rrec, 0.0)
+        # base = mask * intensity * lam / (4 pi r^2), zeroed where r == 0.
+        base = jnp.where(
+            lit,
+            (lk[:, 7:8] * lk[:, 6:7]) * lam
+            / (jnp.float32(4.0 * math.pi) * r2s),
+            0.0,
+        )
+        for j in range(3):
+            irr[j] = irr[j] + base * lk[:, 3 + j:4 + j]
+
+    amb = jnp.float32(ambient)
+    sh0 = col(22) * (irr[0] + amb)
+    sh1 = col(23) * (irr[1] + amb)
+    sh2 = col(24) * (irr[2] + amb)
+    return logit, sh0, sh1, sh2
+
+
+def _fwd_kernel(px_ref, consts_ref, glob_ref, lights_ref,
+                img_ref, m_ref, s_ref,
+                m_s, s_s, a0_s, a1_s, a2_s, *,
+                es, zs, ambient, capacity):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    px = px_ref[0:1, :]
+    py = px_ref[1:2, :]
+
+    @pl.when(c == 0)
+    def _():
+        # Background hypothesis: logit 0 at zinv = 0, black color
+        # (`rasteriser.cpp:188` cleared depth buffer).
+        m_s[:, :] = jnp.zeros_like(m_s[:, :])
+        s_s[:, :] = jnp.ones_like(s_s[:, :])
+        a0_s[:, :] = jnp.zeros_like(a0_s[:, :])
+        a1_s[:, :] = jnp.zeros_like(a1_s[:, :])
+        a2_s[:, :] = jnp.zeros_like(a2_s[:, :])
+
+    logit, sh0, sh1, sh2 = _chunk_terms(
+        consts_ref[:, :], glob_ref[:, :], lights_ref[:, :], px, py,
+        es=es, zs=zs, ambient=ambient, capacity=capacity,
+    )
+    m = m_s[:, :]
+    m_new = jnp.maximum(m, jnp.max(logit, axis=0, keepdims=True))
+    scale = jnp.exp(m - m_new)
+    w = jnp.exp(logit - m_new)
+    m_s[:, :] = m_new
+    s_s[:, :] = s_s[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+    a0_s[:, :] = a0_s[:, :] * scale + jnp.sum(w * sh0, axis=0, keepdims=True)
+    a1_s[:, :] = a1_s[:, :] * scale + jnp.sum(w * sh1, axis=0, keepdims=True)
+    a2_s[:, :] = a2_s[:, :] * scale + jnp.sum(w * sh2, axis=0, keepdims=True)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        rec = 1.0 / s_s[:, :]
+        img_ref[0:1, :] = a0_s[:, :] * rec
+        img_ref[1:2, :] = a1_s[:, :] * rec
+        img_ref[2:3, :] = a2_s[:, :] * rec
+        m_ref[:, :] = m_s[:, :]
+        s_ref[:, :] = s_s[:, :]
+
+
+def _bwd_kernel(px_ref, m_ref, s_ref, img_ref, gcot_ref,
+                consts_ref, glob_ref, lights_ref,
+                dc_ref, dg_ref, dl_ref, *,
+                es, zs, ambient, capacity):
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    px = px_ref[0:1, :]
+    py = px_ref[1:2, :]
+    m = m_ref[:, :]
+    srec = 1.0 / s_ref[:, :]
+
+    # img = acc / s  =>  d acc_j = g_j / s;  d s = -(g . img) / s.
+    da = [gcot_ref[j:j + 1, :] * srec for j in range(3)]
+    ds = -(
+        gcot_ref[0:1, :] * img_ref[0:1, :]
+        + gcot_ref[1:2, :] * img_ref[1:2, :]
+        + gcot_ref[2:3, :] * img_ref[2:3, :]
+    ) * srec
+
+    def f(cs, gl, lt):
+        logit, sh0, sh1, sh2 = _chunk_terms(
+            cs, gl, lt, px, py,
+            es=es, zs=zs, ambient=ambient, capacity=capacity,
+        )
+        # m is the saved global row max — constant here (dL/dm == 0
+        # analytically; see module docstring).
+        w = jnp.exp(logit - m)
+        return (
+            jnp.sum(w, axis=0, keepdims=True),
+            jnp.sum(w * sh0, axis=0, keepdims=True),
+            jnp.sum(w * sh1, axis=0, keepdims=True),
+            jnp.sum(w * sh2, axis=0, keepdims=True),
+        )
+
+    _, vjp_fn = jax.vjp(
+        f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :]
+    )
+    dcs, dgl, dlt = vjp_fn((ds, da[0], da[1], da[2]))
+
+    @pl.when(t == 0)
+    def _():
+        dc_ref[:, :] = dcs
+
+    @pl.when(t != 0)
+    def _():
+        dc_ref[:, :] = dc_ref[:, :] + dcs
+
+    first = (c == 0) & (t == 0)
+
+    @pl.when(first)
+    def _():
+        dg_ref[:, :] = dgl
+        dl_ref[:, :] = dlt
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dg_ref[:, :] = dg_ref[:, :] + dgl
+        dl_ref[:, :] = dl_ref[:, :] + dlt
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _soft_agg(consts, glob, lights_tab, coords,
+              es, zs, ambient, capacity, tile_p, chunk):
+    """img (3, Rp) = soft-z aggregation. coords: (2, Rp) pixel x, y;
+    consts (Tp, 48) with Tp % chunk == 0, Rp % tile_p == 0."""
+    img, _, _ = _soft_agg_fwd_impl(
+        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        tile_p, chunk,
+    )
+    return img
+
+
+def _soft_agg_fwd_impl(consts, glob, lights_tab, coords,
+                       es, zs, ambient, capacity, tile_p, chunk):
+    Rp = coords.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    L = lights_tab.shape[0]
+    kernel = functools.partial(
+        _fwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+    )
+    img, m, s = pl.pallas_call(
+        kernel,
+        grid=(Rp // tile_p, n_chunks),
+        in_specs=[
+            pl.BlockSpec((2, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _CONST_COLS), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)
+                        for _ in range(5)],
+        interpret=_interpret(),
+    )(coords, consts, glob, lights_tab)
+    return img, m, s
+
+
+def _soft_agg_fwd(consts, glob, lights_tab, coords,
+                  es, zs, ambient, capacity, tile_p, chunk):
+    img, m, s = _soft_agg_fwd_impl(
+        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        tile_p, chunk,
+    )
+    return img, (consts, glob, lights_tab, coords, img, m, s)
+
+
+def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
+    consts, glob, lights_tab, coords, img, m, s = res
+    Rp = coords.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    L = lights_tab.shape[0]
+    kernel = functools.partial(
+        _bwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+    )
+    dc, dg, dl = pl.pallas_call(
+        kernel,
+        grid=(n_chunks, Rp // tile_p),
+        in_specs=[
+            pl.BlockSpec((2, tile_p), lambda c, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_p), lambda c, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_p), lambda c, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, _CONST_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(coords, m, s, img, gcot, consts, glob, lights_tab)
+    return dc, dg, dl, jnp.zeros_like(coords)
+
+
+_soft_agg.defvjp(_soft_agg_fwd, _soft_agg_bwd)
+
+
+def rasterize_soft_pallas(scene, camera, lights, cfg,
+                          tile_p: int = 1024, chunk: int = 32) -> jax.Array:
+    """Fused-kernel rasterize_soft. Returns (H, W, 3); gradients flow to
+    scene vertices/colors, camera pose and light parameters through the
+    custom VJP (see module docstring)."""
+    from raytpu.render.soft import _screen_vertices
+
+    H, W = cfg.height, cfg.width
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
+    consts = soft_tri_constants(
+        sx, sy, zinv, pos3d, scene.color, scene.normals(), scene.active
+    )
+    glob = camera_globals(camera, cfg)
+    lt = lights_table(lights)
+
+    T = consts.shape[0]
+    chunk = min(chunk, max(T, 8))
+    padt = (-T) % chunk
+    if padt:
+        consts = jnp.concatenate(
+            [consts, jnp.zeros((padt, _CONST_COLS), jnp.float32)], axis=0
+        )
+
+    R = H * W
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=0)
+    padr = (-R) % tile_p
+    if padr:
+        coords = jnp.concatenate(
+            [coords, jnp.full((2, padr), -1e9, jnp.float32)], axis=1
+        )
+
+    img = _soft_agg(
+        consts, glob, lt, coords,
+        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
+        float(cfg.ambient), lights.capacity, tile_p, chunk,
+    )
+    return img[:, :R].T.reshape(H, W, 3)

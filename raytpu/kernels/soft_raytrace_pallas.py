@@ -1,0 +1,787 @@
+"""Fused soft-raytracer Pallas kernels with custom VJPs.
+
+The differentiable raytracer (raytpu.render.soft.raytrace_soft — the
+softmin-over-depth relaxation of the closest-hit test,
+`raytracer.cpp:239`, plus a smooth shadow transmittance relaxing the
+occlusion test `raytracer.cpp:307-315`) streams (R, C, 9) einsum
+accumulators through HBM in its jnp form: ~16 ms fwd+bwd at 512^2 on one
+v5e chip. Two fused kernels keep the aggregation in VMEM:
+
+  PRIMARY   grid (ray_tile, tri_chunk), chunk fastest: per-chunk
+            Möller–Trumbore t/u/v from a per-triangle table (the
+            camera-origin terms cross(e2,b), cross(b,e1), n.b are
+            precomputed in jnp — they are per-triangle constants for
+            primary rays), online softmax over logit
+            -zs*min(t, t_far) + log_sigmoid(es*margin) + log(active),
+            9-channel numerator (shaded color, ambient-only color, hit
+            position). Outputs the normalized 9 channels + (m, s).
+
+  SHADOW    grid (source, ray_tile, tri_chunk): log-space transmittance
+            log T = sum_t log(1 - occ + 1e-20), occ = sigmoid coverage x
+            sigmoid(zs*(0.99 r - t_occ)) — the product form of the jnp
+            path, accumulated as a sum so the backward pass needs no
+            division by a possibly-underflowed partial product (a fully
+            occluded ray saturates to grad 0 instead of NaN).
+
+Backward passes recompute chunk terms and apply jax.vjp in-kernel (the
+softmax shift m is a residual with dL/dm == 0 analytically — it cancels
+between numerator and denominator). Because per-TRIANGLE grads must
+accumulate consecutively over ray tiles while per-RAY grads accumulate
+over triangle chunks, each backward splits into launches with transposed
+grids (Pallas TPU accumulates output blocks only across consecutive grid
+steps):
+
+  primary:  bwd1 (chunk-major) -> d consts, d globals, d lights
+            bwd2 (tile-major)  -> d ray dirs
+  shadow:   bwd1 (chunk-major) -> d consts
+            bwd2 (source-major)-> d source positions, d world (partial
+                                  per source; summed outside)
+
+Differentiation boundary: tables built in jnp from Scene/Camera/Lights,
+so autodiff chains end-to-end exactly as in soft_raster_pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PRI_COLS = 32
+_SHW_COLS = 16
+_BIG = 3.4028235e38
+
+
+# ---------------------------------------------------------------------------
+# Tables
+# ---------------------------------------------------------------------------
+
+def primary_tri_constants(scene, start):
+    """(T, 32) table for the primary kernel.
+
+      0-2  n = cross(e1, e2)
+      3-5  c2b = cross(e2, b),  b = start - v0   (`raytracer.cpp:225-239`
+           via the matmul formulation of ops/intersect)
+      6-8  cb1 = cross(b, e1)
+      9    k0 = n . b
+      10-12 shading normal (scene.normals(), the cross(e2,e1) quirk)
+      13-15 albedo
+      16   active
+      17-31 zero padding
+    """
+    e1 = scene.v1 - scene.v0
+    e2 = scene.v2 - scene.v0
+    b = start[None, :] - scene.v0
+    n = jnp.cross(e1, e2)
+    c2b = jnp.cross(e2, b)
+    cb1 = jnp.cross(b, e1)
+    k0 = jnp.sum(n * b, axis=-1)
+    nrm = scene.normals()
+    cols = [
+        n[:, 0], n[:, 1], n[:, 2],
+        c2b[:, 0], c2b[:, 1], c2b[:, 2],
+        cb1[:, 0], cb1[:, 1], cb1[:, 2],
+        k0,
+        nrm[:, 0], nrm[:, 1], nrm[:, 2],
+        scene.color[:, 0], scene.color[:, 1], scene.color[:, 2],
+        scene.active,
+    ]
+    zeros = jnp.zeros_like(k0)
+    cols += [zeros] * (_PRI_COLS - len(cols))
+    return jnp.stack(cols, axis=1)
+
+
+def shadow_tri_constants(scene):
+    """(T, 16) table for the shadow kernel (source-independent):
+    v0 (0-2), e1 (3-5), e2 (6-8), n (9-11), n.v0 (12), active (13)."""
+    e1 = scene.v1 - scene.v0
+    e2 = scene.v2 - scene.v0
+    n = jnp.cross(e1, e2)
+    cols = [
+        scene.v0[:, 0], scene.v0[:, 1], scene.v0[:, 2],
+        e1[:, 0], e1[:, 1], e1[:, 2],
+        e2[:, 0], e2[:, 1], e2[:, 2],
+        n[:, 0], n[:, 1], n[:, 2],
+        jnp.sum(n * scene.v0, axis=-1),
+        scene.active,
+    ]
+    zeros = jnp.zeros_like(cols[0])
+    cols += [zeros] * (_SHW_COLS - len(cols))
+    return jnp.stack(cols, axis=1)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _irr_cols(w, n_cols, lt, capacity):
+    """Per-light irradiance at points w = [wx, wy, wz] ((1|C, P) rows)
+    with normals n_cols = [(C,1)]*3. Mirrors ops.shade.irradiance_no_shadow
+    (r = 0 guard included). Returns 3 rows shaped like w[0] * n_cols[0]."""
+    n0, n1, n2 = n_cols
+    irr = None
+    for k in range(capacity):
+        lk = lt[k:k + 1, :]
+        d = [w[j] - lk[:, j:j + 1] for j in range(3)]
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        lit = r2 > 0.0
+        r2s = jnp.where(lit, r2, 1.0)
+        rrec = jax.lax.rsqrt(r2s)
+        lam = jnp.maximum(-(d[0] * n0 + d[1] * n1 + d[2] * n2) * rrec, 0.0)
+        base = jnp.where(
+            lit,
+            (lk[:, 7:8] * lk[:, 6:7]) * lam
+            / (jnp.float32(4.0 * math.pi) * r2s),
+            0.0,
+        )
+        term = [base * lk[:, 3 + j:4 + j] for j in range(3)]
+        irr = term if irr is None else [a + b for a, b in zip(irr, term)]
+    return irr
+
+
+# ---------------------------------------------------------------------------
+# Primary kernel
+# ---------------------------------------------------------------------------
+
+def _primary_terms(cs, gl, lt, dx, dy, dz, *, es, zs, ambient, capacity,
+                   t_far):
+    """Per-(triangle, ray) logit + 9 value channels for one chunk.
+    cs: (C, 32); gl: (1, 16) = [start xyz, ...]; lt: (L, 8);
+    dx/dy/dz: (1, P) ray directions. Returns (logit, vals[9])."""
+
+    def col(j):
+        return cs[:, j:j + 1]
+
+    def g(j):
+        return gl[:, j:j + 1]
+
+    denom = -(dx * col(0) + dy * col(1) + dz * col(2))
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    rec = 1.0 / safe
+    t = col(9) * rec
+    u = (dx * col(3) + dy * col(4) + dz * col(5)) * rec
+    v = (dx * col(6) + dy * col(7) + dz * col(8)) * rec
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+
+    hit_ok = t > 1e-6
+    # jnp path: t_pos = where(t > 1e-6, t, inf); min(t_pos, t_far).
+    tcl = jnp.where(hit_ok, jnp.minimum(t, t_far), t_far)
+    logit = (
+        -zs * tcl
+        + jax.nn.log_sigmoid(es * margin)
+        + jnp.log(col(16) + 1e-20)
+    )
+
+    # pos = start + where(isfinite(t_pos), t_pos, 0) * d.
+    tp = jnp.where(hit_ok & (t < _BIG), t, 0.0)
+    pos = [g(j) + tp * dd for j, dd in ((0, dx), (1, dy), (2, dz))]
+
+    irr = _irr_cols(pos, [col(10), col(11), col(12)], lt, capacity)
+    amb = jnp.float32(ambient)
+    vals = [col(13 + j) * (irr[j] + amb) for j in range(3)]
+    vals += [jnp.broadcast_to(col(13 + j) * amb, vals[0].shape)
+             for j in range(3)]
+    vals += pos
+    return logit, vals
+
+
+def _pri_fwd_kernel(dirs_ref, consts_ref, glob_ref, lights_ref,
+                    out_ref, m_ref, s_ref, m_s, s_s, *acc_s,
+                    es, zs, ambient, capacity, t_far):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+
+    @pl.when(c == 0)
+    def _():
+        # Background hypothesis at t_far (black, position 0-weighted).
+        m_s[:, :] = jnp.full_like(m_s[:, :], -zs * t_far)
+        s_s[:, :] = jnp.ones_like(s_s[:, :])
+        for a in acc_s:
+            a[:, :] = jnp.zeros_like(a[:, :])
+
+    logit, vals = _primary_terms(
+        consts_ref[:, :], glob_ref[:, :], lights_ref[:, :], dx, dy, dz,
+        es=es, zs=zs, ambient=ambient, capacity=capacity, t_far=t_far,
+    )
+    m = m_s[:, :]
+    m_new = jnp.maximum(m, jnp.max(logit, axis=0, keepdims=True))
+    scale = jnp.exp(m - m_new)
+    w = jnp.exp(logit - m_new)
+    m_s[:, :] = m_new
+    s_s[:, :] = s_s[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+    for j, a in enumerate(acc_s):
+        a[:, :] = a[:, :] * scale + jnp.sum(w * vals[j], axis=0,
+                                            keepdims=True)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        rec = 1.0 / s_s[:, :]
+        for j, a in enumerate(acc_s):
+            out_ref[j:j + 1, :] = a[:, :] * rec
+        m_ref[:, :] = m_s[:, :]
+        s_ref[:, :] = s_s[:, :]
+
+
+def _pri_bwd_tables_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
+                           consts_ref, glob_ref, lights_ref,
+                           dc_ref, dg_ref, dl_ref, *,
+                           es, zs, ambient, capacity, t_far):
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+    m = m_ref[:, :]
+    srec = 1.0 / s_ref[:, :]
+    ds = jnp.zeros_like(srec)
+    da = []
+    for j in range(9):
+        gj = gcot_ref[j:j + 1, :]
+        da.append(gj * srec)
+        ds = ds - gj * out_ref[j:j + 1, :] * srec
+
+    def f(cs, gl, lt):
+        logit, vals = _primary_terms(
+            cs, gl, lt, dx, dy, dz,
+            es=es, zs=zs, ambient=ambient, capacity=capacity, t_far=t_far,
+        )
+        w = jnp.exp(logit - m)
+        outs = [jnp.sum(w, axis=0, keepdims=True)]
+        outs += [jnp.sum(w * vals[j], axis=0, keepdims=True)
+                 for j in range(9)]
+        return tuple(outs)
+
+    _, vjp_fn = jax.vjp(
+        f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :]
+    )
+    dcs, dgl, dlt = vjp_fn(tuple([ds] + da))
+
+    @pl.when(t == 0)
+    def _():
+        dc_ref[:, :] = dcs
+
+    @pl.when(t != 0)
+    def _():
+        dc_ref[:, :] = dc_ref[:, :] + dcs
+
+    first = (c == 0) & (t == 0)
+
+    @pl.when(first)
+    def _():
+        dg_ref[:, :] = dgl
+        dl_ref[:, :] = dlt
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dg_ref[:, :] = dg_ref[:, :] + dgl
+        dl_ref[:, :] = dl_ref[:, :] + dlt
+
+
+def _pri_bwd_dirs_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
+                         consts_ref, glob_ref, lights_ref,
+                         dd_ref, dd_s, *,
+                         es, zs, ambient, capacity, t_far):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    m = m_ref[:, :]
+    srec = 1.0 / s_ref[:, :]
+    ds = jnp.zeros_like(srec)
+    da = []
+    for j in range(9):
+        gj = gcot_ref[j:j + 1, :]
+        da.append(gj * srec)
+        ds = ds - gj * out_ref[j:j + 1, :] * srec
+
+    cs = consts_ref[:, :]
+    gl = glob_ref[:, :]
+    lt = lights_ref[:, :]
+
+    def f(dx, dy, dz):
+        logit, vals = _primary_terms(
+            cs, gl, lt, dx, dy, dz,
+            es=es, zs=zs, ambient=ambient, capacity=capacity, t_far=t_far,
+        )
+        w = jnp.exp(logit - m)
+        outs = [jnp.sum(w, axis=0, keepdims=True)]
+        outs += [jnp.sum(w * vals[j], axis=0, keepdims=True)
+                 for j in range(9)]
+        return tuple(outs)
+
+    _, vjp_fn = jax.vjp(
+        f, dirs_ref[0:1, :], dirs_ref[1:2, :], dirs_ref[2:3, :]
+    )
+    ddx, ddy, ddz = vjp_fn(tuple([ds] + da))
+
+    @pl.when(c == 0)
+    def _():
+        dd_s[:, :] = jnp.zeros_like(dd_s[:, :])
+
+    dd_s[0:1, :] = dd_s[0:1, :] + ddx
+    dd_s[1:2, :] = dd_s[1:2, :] + ddy
+    dd_s[2:3, :] = dd_s[2:3, :] + ddz
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dd_ref[:, :] = dd_s[:, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _primary_agg(consts, glob, lights_tab, dirs,
+                 es, zs, ambient, capacity, t_far, tile_p, chunk):
+    """out (9, Rp): [shade rgb, ambient rgb, hit pos xyz], soft-aggregated.
+    dirs: (3, Rp); consts (Tp, 32), Tp % chunk == 0, Rp % tile_p == 0."""
+    out, _, _ = _primary_fwd_impl(
+        consts, glob, lights_tab, dirs, es, zs, ambient, capacity, t_far,
+        tile_p, chunk,
+    )
+    return out
+
+
+def _primary_fwd_impl(consts, glob, lights_tab, dirs, es, zs, ambient,
+                      capacity, t_far, tile_p, chunk):
+    Rp = dirs.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    L = lights_tab.shape[0]
+    kernel = functools.partial(
+        _pri_fwd_kernel, es=es, zs=zs, ambient=ambient,
+        capacity=capacity, t_far=t_far,
+    )
+    out, m, s = pl.pallas_call(
+        kernel,
+        grid=(Rp // tile_p, n_chunks),
+        in_specs=[
+            pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _PRI_COLS), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)
+                        for _ in range(11)],
+        interpret=_interpret(),
+    )(dirs, consts, glob, lights_tab)
+    return out, m, s
+
+
+def _primary_fwd(consts, glob, lights_tab, dirs,
+                 es, zs, ambient, capacity, t_far, tile_p, chunk):
+    out, m, s = _primary_fwd_impl(
+        consts, glob, lights_tab, dirs, es, zs, ambient, capacity, t_far,
+        tile_p, chunk,
+    )
+    return out, (consts, glob, lights_tab, dirs, out, m, s)
+
+
+def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
+                 res, gcot):
+    consts, glob, lights_tab, dirs, out, m, s = res
+    Rp = dirs.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    L = lights_tab.shape[0]
+    tile_spec = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, tile_p), lambda c, i: (0, i), memory_space=pltpu.VMEM)
+    dc, dg, dl = pl.pallas_call(
+        functools.partial(_pri_bwd_tables_kernel, es=es, zs=zs,
+                          ambient=ambient, capacity=capacity, t_far=t_far),
+        grid=(n_chunks, Rp // tile_p),
+        in_specs=[
+            tile_spec(3), tile_spec(1), tile_spec(1), tile_spec(9),
+            tile_spec(9),
+            pl.BlockSpec((chunk, _PRI_COLS), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, _PRI_COLS), lambda c, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, _PRI_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((1, 16), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(dirs, m, s, out, gcot, consts, glob, lights_tab)
+
+    tile_spec2 = lambda nrows: pl.BlockSpec(  # noqa: E731
+        (nrows, tile_p), lambda i, c: (0, i), memory_space=pltpu.VMEM)
+    dd = pl.pallas_call(
+        functools.partial(_pri_bwd_dirs_kernel, es=es, zs=zs,
+                          ambient=ambient, capacity=capacity, t_far=t_far),
+        grid=(Rp // tile_p, n_chunks),
+        in_specs=[
+            tile_spec2(3), tile_spec2(1), tile_spec2(1), tile_spec2(9),
+            tile_spec2(9),
+            pl.BlockSpec((chunk, _PRI_COLS), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, tile_p), jnp.float32)],
+        interpret=_interpret(),
+    )(dirs, m, s, out, gcot, consts, glob, lights_tab)
+    return dc, dg, dl, dd
+
+
+_primary_agg.defvjp(_primary_fwd, _primary_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Shadow kernel
+# ---------------------------------------------------------------------------
+
+def _shadow_logterms(cs, sr, wx, wy, wz, *, es, zs):
+    """Sum over the chunk's triangles of log(1 - occ + 1e-20) for one
+    source. cs: (C, 16); sr: (1, 8) source row; wx/wy/wz: (1, P) world
+    points. Mirrors render.soft._soft_shadow_factor's body."""
+
+    def col(j):
+        return cs[:, j:j + 1]
+
+    def s(j):
+        return sr[:, j:j + 1]
+
+    d = [wx - s(0), wy - s(1), wz - s(2)]
+    r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    lit = r2 > 0.0
+    r2s = jnp.where(lit, r2, 1.0)
+    rrec = jax.lax.rsqrt(r2s)
+    r = r2s * rrec  # = sqrt(r2s) to fp rounding
+    dh = [dj * rrec for dj in d]
+
+    # Per-triangle source-dependent terms: b = src - v0 ((C, 1) each).
+    b = [s(j) - col(j) for j in range(3)]
+    e1 = [col(3), col(4), col(5)]
+    e2 = [col(6), col(7), col(8)]
+    n = [col(9), col(10), col(11)]
+    c2b = [e2[1] * b[2] - e2[2] * b[1],
+           e2[2] * b[0] - e2[0] * b[2],
+           e2[0] * b[1] - e2[1] * b[0]]
+    cb1 = [b[1] * e1[2] - b[2] * e1[1],
+           b[2] * e1[0] - b[0] * e1[2],
+           b[0] * e1[1] - b[1] * e1[0]]
+    k0 = s(0) * n[0] + s(1) * n[1] + s(2) * n[2] - col(12)
+
+    denom = -(dh[0] * n[0] + dh[1] * n[1] + dh[2] * n[2])
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    rec = 1.0 / safe
+    t = k0 * rec
+    u = (dh[0] * c2b[0] + dh[1] * c2b[1] + dh[2] * c2b[2]) * rec
+    v = (dh[0] * cb1[0] + dh[1] * cb1[1] + dh[2] * cb1[2]) * rec
+    margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    cov = jax.nn.sigmoid(es * margin) * col(13)
+    # t_occ = where(t > 1e-6, t, inf): a miss contributes occ = 0.
+    occ_z = jnp.where(
+        t > 1e-6, jax.nn.sigmoid(zs * (0.99 * r - t)), 0.0
+    )
+    occ = cov * occ_z
+    # Same value as the jnp path's product factor (1 - occ + 1e-20),
+    # accumulated in log space (see module docstring).
+    return jnp.sum(jnp.log(1.0 - occ + 1e-20), axis=0, keepdims=True)
+
+
+def _shw_fwd_kernel(world_ref, src_ref, consts_ref, trans_ref, log_s, *,
+                    es, zs):
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+
+    @pl.when(c == 0)
+    def _():
+        log_s[:, :] = jnp.zeros_like(log_s[:, :])
+
+    log_s[:, :] = log_s[:, :] + _shadow_logterms(
+        consts_ref[:, :], src_ref[:, :],
+        world_ref[0:1, :], world_ref[1:2, :], world_ref[2:3, :],
+        es=es, zs=zs,
+    )
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        trans_ref[:, :] = jnp.exp(log_s[:, :])
+
+
+def _shw_bwd_consts_kernel(world_ref, src_ref, trans_ref, gcot_ref,
+                           consts_ref, dc_ref, *, es, zs):
+    c = pl.program_id(0)
+    s_ = pl.program_id(1)
+    t = pl.program_id(2)
+    # d log T = gcot * T (log-space: no division by partial products).
+    dlog = gcot_ref[:, :] * trans_ref[:, :]
+    wx, wy, wz = (world_ref[0:1, :], world_ref[1:2, :], world_ref[2:3, :])
+    sr = src_ref[:, :]
+
+    def f(cs):
+        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+
+    _, vjp_fn = jax.vjp(f, consts_ref[:, :])
+    (dcs,) = vjp_fn(dlog)
+    first = (s_ == 0) & (t == 0)
+
+    @pl.when(first)
+    def _():
+        dc_ref[:, :] = dcs
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dc_ref[:, :] = dc_ref[:, :] + dcs
+
+
+def _shw_bwd_rays_kernel(world_ref, src_ref, trans_ref, gcot_ref,
+                         consts_ref, dsrc_ref, dw_ref, dw_s, dsrc_s, *,
+                         es, zs):
+    t = pl.program_id(1)
+    c = pl.program_id(2)
+    n_tiles = pl.num_programs(1)
+    n_chunks = pl.num_programs(2)
+    dlog = gcot_ref[:, :] * trans_ref[:, :]
+    cs = consts_ref[:, :]
+
+    def f(sr, wx, wy, wz):
+        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+
+    _, vjp_fn = jax.vjp(
+        f, src_ref[:, :], world_ref[0:1, :], world_ref[1:2, :],
+        world_ref[2:3, :],
+    )
+    dsr, dwx, dwy, dwz = vjp_fn(dlog)
+
+    first_for_src = (t == 0) & (c == 0)
+
+    @pl.when(first_for_src)
+    def _():
+        dsrc_s[:, :] = jnp.zeros_like(dsrc_s[:, :])
+
+    dsrc_s[:, :] = dsrc_s[:, :] + dsr
+
+    @pl.when((t == n_tiles - 1) & (c == n_chunks - 1))
+    def _():
+        dsrc_ref[:, :] = dsrc_s[:, :]
+
+    @pl.when(c == 0)
+    def _():
+        dw_s[:, :] = jnp.zeros_like(dw_s[:, :])
+
+    dw_s[0:1, :] = dw_s[0:1, :] + dwx
+    dw_s[1:2, :] = dw_s[1:2, :] + dwy
+    dw_s[2:3, :] = dw_s[2:3, :] + dwz
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dw_ref[:, :] = dw_s[:, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _shadow_trans(consts, srcs, world, es, zs, tile_p, chunk):
+    """(S, Rp) smooth transmittance from each source to each world point.
+    srcs: (S, 8) rows [position xyz, pad]; world: (3, Rp)."""
+    return _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk)
+
+
+def _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk):
+    Rp = world.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    S = srcs.shape[0]
+    trans = pl.pallas_call(
+        functools.partial(_shw_fwd_kernel, es=es, zs=zs),
+        grid=(S, Rp // tile_p, n_chunks),
+        in_specs=[
+            pl.BlockSpec((3, tile_p), lambda s, i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda s, i, c: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _SHW_COLS), lambda s, i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p), lambda s, i, c: (s, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)],
+        interpret=_interpret(),
+    )(world, srcs, consts)
+    return trans
+
+
+def _shadow_fwd(consts, srcs, world, es, zs, tile_p, chunk):
+    trans = _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk)
+    return trans, (consts, srcs, world, trans)
+
+
+def _shadow_bwd(es, zs, tile_p, chunk, res, gcot):
+    consts, srcs, world, trans = res
+    Rp = world.shape[1]
+    Tp = consts.shape[0]
+    n_chunks = Tp // chunk
+    S = srcs.shape[0]
+    n_tiles = Rp // tile_p
+
+    dc = pl.pallas_call(
+        functools.partial(_shw_bwd_consts_kernel, es=es, zs=zs),
+        grid=(n_chunks, S, n_tiles),
+        in_specs=[
+            pl.BlockSpec((3, tile_p), lambda c, s, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda c, s, i: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda c, s, i: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda c, s, i: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _SHW_COLS), lambda c, s, i: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, _SHW_COLS), lambda c, s, i: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, _SHW_COLS), jnp.float32),
+        interpret=_interpret(),
+    )(world, srcs, trans, gcot, consts)
+
+    dsrc, dw_part = pl.pallas_call(
+        functools.partial(_shw_bwd_rays_kernel, es=es, zs=zs),
+        grid=(S, n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((3, tile_p), lambda s, i, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda s, i, c: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda s, i, c: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_p), lambda s, i, c: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _SHW_COLS), lambda s, i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8), lambda s, i, c: (s, 0),
+                         memory_space=pltpu.VMEM),
+            # (S*3, Rp) partial d_world; block row index s covers rows
+            # [3s, 3s+3) (index maps are in block units).
+            pl.BlockSpec((3, tile_p), lambda s, i, c: (s, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, 8), jnp.float32),
+            jax.ShapeDtypeStruct((S * 3, Rp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, tile_p), jnp.float32),
+            pltpu.VMEM((1, 8), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(world, srcs, trans, gcot, consts)
+    dw = jnp.sum(dw_part.reshape(S, 3, Rp), axis=0)
+    return dc, dsrc, dw
+
+
+_shadow_trans.defvjp(_shadow_fwd, _shadow_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public wrapper
+# ---------------------------------------------------------------------------
+
+def raytrace_soft_pallas(scene, camera, lights, cfg,
+                         tile_p: int = 1024, chunk: int = 32) -> jax.Array:
+    """Fused-kernel raytrace_soft. Returns (H, W, 3); matches
+    render.soft.raytrace_soft to fp-reassociation tolerance with
+    end-to-end gradients (scene, camera, lights)."""
+    from raytpu.kernels.soft_raster_pallas import lights_table
+    from raytpu.render.raytrace import camera_ray_dirs, pixel_grid
+
+    H, W = cfg.height, cfg.width
+    xs, ys = pixel_grid(cfg)
+    dirs = camera_ray_dirs(xs, ys, camera, cfg)  # (R, 3)
+    R = dirs.shape[0]
+    t_far = 20.0
+
+    T = scene.num_triangles
+    chunk = min(chunk, max(T, 8))
+    padt = (-T) % chunk
+
+    pri = primary_tri_constants(scene, camera.pos)
+    shw = shadow_tri_constants(scene)
+    if padt:
+        pri = jnp.concatenate(
+            [pri, jnp.zeros((padt, _PRI_COLS), jnp.float32)], axis=0)
+        shw = jnp.concatenate(
+            [shw, jnp.zeros((padt, _SHW_COLS), jnp.float32)], axis=0)
+
+    glob = jnp.concatenate(
+        [camera.pos, jnp.zeros((13,), jnp.float32)])[None, :]
+    lt = lights_table(lights)
+
+    dirs_t = dirs.T  # (3, R)
+    padr = (-R) % tile_p
+    if padr:
+        dirs_t = jnp.concatenate(
+            [dirs_t, jnp.full((3, padr), 1e-6, jnp.float32)], axis=1)
+
+    out = _primary_agg(
+        pri, glob, lt, dirs_t,
+        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
+        float(cfg.ambient), lights.capacity, t_far, tile_p, chunk,
+    )
+    img = out[0:3]
+    amb = out[3:6]
+    world = out[6:9]
+
+    # Shadow sources: per light, the jittered sample positions when
+    # soft-shadowing (`raytracer.cpp:272-296`), else the light position.
+    samples = max(cfg.soft_shadow_samples, 1)
+    if samples > 1:
+        src_pos = lights.jitter[:, :samples].reshape(-1, 3)
+    else:
+        src_pos = lights.position
+    S = src_pos.shape[0]
+    srcs = jnp.concatenate(
+        [src_pos, jnp.zeros((S, 5), jnp.float32)], axis=1)
+
+    trans = _shadow_trans(
+        shw, srcs, world,
+        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
+        tile_p, chunk,
+    )  # (S, Rp)
+    per_light = jnp.mean(trans.reshape(lights.capacity, samples, -1),
+                         axis=1)
+    denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
+    shadow = jnp.sum(lights.mask[:, None] * per_light, axis=0) / denom
+
+    final = (img - amb) * shadow[None, :] + amb
+    return final[:, :R].T.reshape(H, W, 3)

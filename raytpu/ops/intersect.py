@@ -35,7 +35,9 @@ import jax.numpy as jnp
 
 from raytpu.core.types import Scene
 
-_F32MAX = jnp.float32(3.4028235e38)
+# Python float (see ops/raster.py note: module-level jnp constants
+# would initialize the backend at import, breaking multi-host init).
+_F32MAX = 3.4028235e38
 
 
 class TriConstants(NamedTuple):

@@ -34,7 +34,10 @@ import jax.numpy as jnp
 
 from raytpu.core.types import Camera, Lights, RenderConfig, Scene
 
-_INTMAX = jnp.int32(2147483647)
+# Python int, not jnp.int32(...): a module-level device constant would
+# initialize the XLA backend at import time, breaking
+# jax.distributed.initialize() (must run before backend init).
+_INTMAX = 2147483647
 
 
 def glm_inverse3(m: jax.Array) -> jax.Array:

@@ -42,7 +42,7 @@ from raytpu.ops.intersect import TriConstants, intersect, tri_constants
 from raytpu.ops.shade import composite, direct_light
 from raytpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-_F32MAX = jnp.float32(3.4028235e38)
+_F32MAX = 3.4028235e38  # Python float; see ops/raster.py note
 
 
 def _scene_block(scene: Scene, axis_name: str) -> tuple[Scene, jax.Array]:

@@ -34,7 +34,7 @@ from raytpu.ops.intersect import (
 )
 from raytpu.ops.shade import composite, direct_light
 
-_F32MAX = jnp.float32(3.4028235e38)
+_F32MAX = 3.4028235e38  # Python float; see ops/raster.py note
 
 
 class RenderOut(NamedTuple):

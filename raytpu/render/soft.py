@@ -105,7 +105,17 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
     edge_sharpness * |typical margin| >> z_sharpness * t_far. Enclosed
     scenes (the Cornell box) are insensitive; for open scenes set
     soft_edge_sharpness ~ 100x soft_z_sharpness.
+
+    On TPU (cfg.pallas_enabled) this dispatches to the fused Pallas
+    kernels with custom VJPs (raytpu.kernels.soft_raytrace_pallas) —
+    same math to ~1e-5 rel; the jnp streaming path below is the
+    reference implementation and the CPU fallback.
     """
+    if cfg.pallas_enabled:
+        from raytpu.kernels.soft_raytrace_pallas import raytrace_soft_pallas
+
+        return raytrace_soft_pallas(scene, camera, lights, cfg)
+
     xs, ys = pixel_grid(cfg)
     dirs = camera_ray_dirs(xs, ys, camera, cfg)
     R = dirs.shape[0]
@@ -274,7 +284,12 @@ def _fields_for(p, sx, sy, zinv, pos3d):
         val = ex[None, :] * (p[:, 1:2] - y0[None, :]) - ey[None, :] * (
             p[:, 0:1] - x0[None, :]
         )
-        norm = jnp.sqrt(ex * ex + ey * ey) + 1e-12
+        # Degenerate edges (zero-padded triangles) have n2 = 0: sqrt'(0)
+        # is inf and val == 0 there, so the unguarded form NaNs vertex
+        # AND camera grads (0 * inf). val == 0 whenever n2 == 0, so the
+        # guard leaves every forward value unchanged.
+        n2 = ex * ex + ey * ey
+        norm = jnp.sqrt(jnp.where(n2 > 0.0, n2, 1.0)) + 1e-12
         return val * orient[None, :] / norm[None, :]
 
     d0 = edge_vals(ax, ay, bx, by)
@@ -370,7 +385,17 @@ def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
     interpolate with simplex-clamped screen-space barycentrics (zinv and
     pos3d = pos/z are affine in screen space — the standard
     perspective-correct scheme, same as `rasteriser.cpp:538-541`).
+
+    On TPU (cfg.pallas_enabled) this dispatches to the fused Pallas
+    kernel with a custom VJP (raytpu.kernels.soft_raster_pallas) —
+    same math, ~1e-5 rel, ~7x faster fwd+bwd; the jnp streaming path
+    below is the reference implementation and the CPU fallback.
     """
+    if cfg.pallas_enabled:
+        from raytpu.kernels.soft_raster_pallas import rasterize_soft_pallas
+
+        return rasterize_soft_pallas(scene, camera, lights, cfg)
+
     H, W = cfg.height, cfg.width
     p = _pixel_centers(cfg)
     sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
