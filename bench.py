@@ -1,17 +1,29 @@
 """raytpu headline benchmark (driver-run).
 
-Metric (BASELINE.json): Mrays/s/chip forward+backward at 512x512 Cornell
-box. One frame = 512^2 primary rays + 512^2 shadow rays (one light, hard
-shadows); a fwd+bwd step is value_and_grad of an image MSE wrt scene +
-light parameters, so every ray is traced in the forward AND differentiated
-in the backward.
+Headline metric (BASELINE.json): Mrays/s/chip forward+backward at 512x512
+Cornell box, hard-visibility raytrace ("clean" mode). One frame = 512^2
+primary rays + 512^2 shadow rays (one light, hard shadows); a fwd+bwd step
+is value_and_grad of an image MSE wrt scene + light parameters.
+
+The JSON line also records (VERDICT round-1 item 4 — honest accounting):
+  fwd_ms             chained forward-only frame time (same dispatch-free
+                     lax.scan methodology as the train step — the round-1
+                     artifact where unchained fwd read slower than fwd+bwd
+                     is gone)
+  rasterize          hard rasterizer fwd+bwd (BASELINE config 2)
+  soft_raytrace /    differentiable-mode fwd+bwd via the fused Pallas
+  soft_rasterize     soft kernels (VERDICT round-1 item 1)
+  pct_roof_est       measured-vs-speed-of-light estimate for the headline:
+                     ~25 VPU ops per ray-triangle test (kernel_lab
+                     methodology), primary+shadow sweeps, backward ~2x
+                     forward, against the ~2.5 Tops/s effective VPU roof
+                     this chip sustains on the 9k-tri kernel (README).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 baseline is the fastest CPU re-implementation we have of the same math —
-the vectorized numpy oracle (raytpu.oracle.raytracer_oracle), forward-only,
-measured at 128x128 on this host and scaled linearly in ray count to
-512x512. This is GENEROUS to the baseline: numpy is vectorized where the
-reference C++ loops per pixel, and backward would at least double its cost.
+the vectorized numpy oracle, forward-only, measured at 128x128 and scaled
+linearly in ray count. GENEROUS to the baseline (numpy is vectorized
+where the reference loops per pixel; backward would 2x+ its cost).
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -27,9 +39,89 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu(size=512, iters=20, use_pallas=None):
+def _chain_train(render_fn, params, iters):
+    """ms per fwd+bwd optimizer step, `iters` REAL steps chained in one
+    executable (tiny lr so parameters stay put numerically): per-call
+    timing under-reports dispatch, carry-ignoring scans get hoisted."""
     import jax
     import jax.numpy as jnp
+    import optax
+
+    target = jax.block_until_ready(render_fn(*params))
+
+    def loss_fn(p):
+        return jnp.mean((render_fn(*p) - target) ** 2)
+
+    vag = jax.value_and_grad(loss_fn)
+    opt = optax.sgd(1e-9)
+
+    @jax.jit
+    def chained(p, os0):
+        def body(carry, _):
+            p_, os_ = carry
+            loss, g = vag(p_)
+            upd, os2 = opt.update(g, os_, p_)
+            return (optax.apply_updates(p_, upd), os2), loss
+        return jax.lax.scan(body, (p, os0), None, length=iters)
+
+    os0 = opt.init(params)
+    t0 = time.time()
+    jax.block_until_ready(chained(params, os0))
+    log(f"[bench] train chain compile: {time.time()-t0:.1f}s")
+    # Pipelined timing: dispatch all repeats asynchronously and block
+    # once. Per-call block_until_ready would charge the ~20 ms remote
+    # tunnel dispatch RTT to every call; in steady-state training those
+    # dispatches overlap device execution.
+    t0 = time.time()
+    for _ in range(3):
+        out = chained(params, os0)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / 3 / iters * 1e3
+
+
+def _chain_fwd(render_fn, params, iters):
+    """ms per forward frame, chained through the carry (the rendered
+    image feeds back into the parameters at weight 1e-20, so the scan
+    body cannot be hoisted as loop-invariant)."""
+    import jax
+    import jax.numpy as jnp
+
+    scene, rest = params[0], params[1:]
+
+    @jax.jit
+    def fwd_chain(s):
+        def body(carry, _):
+            img = render_fn(carry, *rest)
+            mean = jnp.mean(img) * 1e-20
+            s2 = jax.tree_util.tree_map(
+                lambda a: a + mean.astype(a.dtype), carry
+            )
+            return s2, jnp.mean(img)
+        return jax.lax.scan(body, s, None, length=iters)
+
+    t0 = time.time()
+    jax.block_until_ready(fwd_chain(scene))
+    log(f"[bench] fwd chain compile: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(3):
+        out = fwd_chain(scene)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / 3 / iters * 1e3
+
+
+def _roof_pct(train_ms, size, tris=32):
+    """Speed-of-light ESTIMATE for the hard fwd+bwd step: 25 VPU ops per
+    ray-triangle test (plane-test kernel count, bench/kernel_lab.py),
+    primary + shadow sweep, backward ~2x the forward recompute, at the
+    ~2.5e12 ops/s effective VPU rate the 9k-tri kernel sustains."""
+    tests = 2.0 * size * size * tris
+    total_ops = tests * 25.0 * 3.0
+    ideal_ms = total_ops / 2.5e12 * 1e3
+    return round(ideal_ms / train_ms * 100.0, 1)
+
+
+def bench_tpu(size=512, iters=20, use_pallas=None):
+    import jax
 
     from raytpu.utils.cache import enable as enable_cache
 
@@ -37,77 +129,67 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
 
     from raytpu.core.cornell import cornell_box
     from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.render.rasterize import rasterize
     from raytpu.render.raytrace import raytrace_full
+    from raytpu.render.soft import rasterize_soft, raytrace_soft
 
     scene = cornell_box(pad_to=32)
-    camera = Camera.raytracer_default()
     lights = Lights.single(capacity=1)
+    cam_rt = Camera.raytracer_default()
+    cam_rz = Camera.rasterizer_default()
+    log(f"[bench] device: {jax.devices()[0]}")
+
+    res = {}
+
+    # --- headline: hard raytrace fwd+bwd -------------------------------
     cfg = RenderConfig(width=size, height=size, mode="clean",
                        use_pallas=use_pallas)
+    rt = lambda s, l: raytrace_full(s, cam_rt, l, cfg).image  # noqa: E731
+    train_ms = _chain_train(rt, (scene, lights), iters)
+    rays = 2 * size * size
+    res["train_ms"] = round(train_ms, 3)
+    res["mrays"] = round(rays / train_ms / 1e3, 1)
+    log(f"[bench] raytrace fwd+bwd: {train_ms:.2f} ms -> "
+        f"{res['mrays']} Mrays/s")
 
-    import optax
+    res["fwd_ms"] = round(_chain_fwd(rt, (scene, lights), iters), 3)
+    res["fwd_mrays"] = round(rays / res["fwd_ms"] / 1e3, 1)
+    log(f"[bench] raytrace fwd-only: {res['fwd_ms']} ms -> "
+        f"{res['fwd_mrays']} Mrays/s")
+    res["pct_roof_est"] = _roof_pct(train_ms, size)
 
-    # One jitted forward reused for the target render AND the fwd-only
-    # timing below — every distinct jit costs a full (remote) compile.
-    fwd = jax.jit(
-        lambda s, l: raytrace_full(s, camera, l, cfg).image
-    )
-    target = jax.block_until_ready(fwd(scene, lights))
+    # --- hard rasterize fwd+bwd (BASELINE config 2) ---------------------
+    rz = lambda s, l: rasterize(s, cam_rz, l, cfg)  # noqa: E731
+    rz_ms = _chain_train(rz, (scene, lights), iters)
+    res["rasterize"] = {
+        "train_ms": round(rz_ms, 3),
+        "mrays": round(size * size / rz_ms / 1e3, 1),
+    }
+    log(f"[bench] rasterize fwd+bwd: {rz_ms:.2f} ms -> "
+        f"{res['rasterize']['mrays']} Mrays/s")
 
-    def loss_fn(scene_, lights_):
-        img = raytrace_full(scene_, camera, lights_, cfg).image
-        return jnp.mean((img - target) ** 2)
+    # --- differentiable mode via the fused soft kernels -----------------
+    cfg_soft = RenderConfig(width=size, height=size, mode="soft",
+                            soft_edge_sharpness=40.0,
+                            soft_z_sharpness=40.0, use_pallas=use_pallas)
+    srt = lambda s, l: raytrace_soft(s, cam_rt, l, cfg_soft)  # noqa: E731
+    srt_ms = _chain_train(srt, (scene, lights), max(iters // 2, 5))
+    res["soft_raytrace"] = {
+        "train_ms": round(srt_ms, 3),
+        "mrays": round(rays / srt_ms / 1e3, 1),
+    }
+    log(f"[bench] soft raytrace fwd+bwd: {srt_ms:.2f} ms -> "
+        f"{res['soft_raytrace']['mrays']} Mrays/s")
 
-    vag = jax.value_and_grad(loss_fn, argnums=(0, 1))
-
-    # Chain `iters` REAL optimizer steps inside one executable (lax.scan):
-    # per-call measurement under-reports by ~25% host/dispatch overhead,
-    # while a scan whose body ignores its carry gets hoisted as
-    # loop-invariant and over-reports 4x. A chained optimizer (tiny lr so
-    # parameters stay put numerically) is both honest and dispatch-free.
-    opt = optax.sgd(1e-9)
-
-    @jax.jit
-    def train_chain(s, l, opt_state):
-        def body(carry, _):
-            s_, l_, os_ = carry
-            loss, grads = vag(s_, l_)
-            updates, os2 = opt.update(grads, os_, (s_, l_))
-            s2, l2 = optax.apply_updates((s_, l_), updates)
-            return (s2, l2, os2), loss
-        carry, losses = jax.lax.scan(
-            body, (s, l, opt_state), None, length=iters
-        )
-        return losses
-
-    opt_state = opt.init((scene, lights))
-    t0 = time.time()
-    out = jax.block_until_ready(train_chain(scene, lights, opt_state))
-    compile_s = time.time() - t0
-    log(f"[bench] fwd+bwd chain compile: {compile_s:.1f}s on "
-        f"{jax.devices()[0]}")
-
-    t0 = time.time()
-    for _ in range(3):
-        out = train_chain(scene, lights, opt_state)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / 3 / iters
-
-    rays_per_frame = 2 * size * size  # primary + shadow
-    mrays = rays_per_frame / dt / 1e6
-    log(f"[bench] fwd+bwd train step: {dt*1e3:.2f} ms -> "
-        f"{mrays:.1f} Mrays/s")
-
-    # Forward-only for reference (same executable as the target render).
-    jax.block_until_ready(fwd(scene, lights))
-    t0 = time.time()
-    for _ in range(iters):
-        img = fwd(scene, lights)
-    jax.block_until_ready(img)
-    fwd_dt = (time.time() - t0) / iters
-    log(f"[bench] fwd-only: {fwd_dt*1e3:.2f} ms/frame -> "
-        f"{rays_per_frame/fwd_dt/1e6:.1f} Mrays/s")
-    return mrays, dt, fwd_dt
+    srz = lambda s, l: rasterize_soft(s, cam_rz, l, cfg_soft)  # noqa: E731
+    srz_ms = _chain_train(srz, (scene, lights), max(iters // 2, 5))
+    res["soft_rasterize"] = {
+        "train_ms": round(srz_ms, 3),
+        "mrays": round(size * size / srz_ms / 1e3, 1),
+    }
+    log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.2f} ms -> "
+        f"{res['soft_rasterize']['mrays']} Mrays/s")
+    return res
 
 
 def bench_cpu_oracle(size=128):
@@ -126,14 +208,16 @@ def bench_cpu_oracle(size=128):
     return mrays
 
 
-def _result_json(mrays, baseline_mrays, impl):
-    return json.dumps({
+def _result_json(res, baseline_mrays, impl):
+    out = {
         "metric": ("Mrays/s/chip fwd+bwd 512x512 Cornell "
                    f"(primary+shadow, {impl})"),
-        "value": round(mrays, 2),
+        "value": res["mrays"],
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline_mrays, 2),
-    })
+        "vs_baseline": round(res["mrays"] / baseline_mrays, 2),
+    }
+    out.update({k: v for k, v in res.items() if k != "mrays"})
+    return json.dumps(out)
 
 
 def main():
@@ -142,14 +226,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", choices=["auto", "pallas", "xla"],
                     default="auto")
-    ap.add_argument("--pallas-timeout", type=float, default=480.0,
+    ap.add_argument("--pallas-timeout", type=float, default=900.0,
                     help="seconds to allow the Pallas-path child before "
                          "falling back to the XLA path")
     args = ap.parse_args()
 
     if args.impl in ("pallas", "xla"):
-        mrays, _, _ = bench_tpu(use_pallas=(args.impl == "pallas"))
-        print(_result_json(mrays, bench_cpu_oracle(), args.impl),
+        res = bench_tpu(use_pallas=(args.impl == "pallas"))
+        print(_result_json(res, bench_cpu_oracle(), args.impl),
               flush=True)
         return
 
@@ -176,8 +260,8 @@ def main():
     except subprocess.TimeoutExpired:
         log("[bench] pallas child timed out; falling back to XLA path")
 
-    mrays, _, _ = bench_tpu(use_pallas=False)
-    print(_result_json(mrays, bench_cpu_oracle(), "xla"), flush=True)
+    res = bench_tpu(use_pallas=False)
+    print(_result_json(res, bench_cpu_oracle(), "xla"), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,199 @@
+"""BASELINE config 4 for real: fit scene + lights to the committed
+reference render `/root/reference/rasteriser/screenshot.bmp` at 500^2.
+
+The demo starts from a PERTURBED Cornell box (vertex noise + displaced,
+dimmed light — recovering the true scene from the canonical init would be
+trivial) and optimizes vertices + colors + light parameters with
+rasterize_soft gradients (fused Pallas kernels on TPU) under staged
+sharpness annealing.
+
+Screenshot caveat (tests/test_reference_screenshot.py): the committed BMP
+was saved by an OLDER reference build, so pixel-exact recovery is
+impossible by construction; the quantitative recovery metric is the same
+GEOMETRY-level region-class agreement the forward-parity test uses
+(dominant color class on a 50x50 grid). The forward path scores ~97-99%
+from the true scene; the fit must lift the perturbed scene's agreement
+back toward that.
+
+Artifacts (committed under results/fit_reference/):
+  loss_curve.json   per-step losses + config + agreements
+  init.bmp          hard render of the perturbed init
+  fitted.bmp        hard render of the fitted scene
+  target.bmp        the reference screenshot (copied for side-by-side)
+
+Reproduce:  python bench/fit_reference.py [--steps 600] [--out results/fit_reference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _classify(c):
+    # Same classes as tests/test_reference_screenshot.py.
+    r, g, b = c / 255.0
+    if r + g + b < 0.02:
+        return "."
+    if abs(r - g) < 0.04 and abs(g - b) < 0.04:
+        return "W"
+    if g > r and g > b:
+        return "G"
+    if r > g and b > g and abs(r - b) < 0.1:
+        return "P"
+    if b > r and b > g:
+        return "B"
+    if g > r and b > r:
+        return "C"
+    if r > g and r > b:
+        return "R"
+    if r > b and g > b:
+        return "Y"
+    return "?"
+
+
+def class_agreement(img_u8, ref_u8, stride=10):
+    import numpy as np
+
+    a = [[_classify(img_u8[y, x].astype(float))
+          for x in range(0, img_u8.shape[1], stride)]
+         for y in range(0, img_u8.shape[0], stride)]
+    b = [[_classify(ref_u8[y, x].astype(float))
+          for x in range(0, ref_u8.shape[1], stride)]
+         for y in range(0, ref_u8.shape[0], stride)]
+    return float((np.array(a) == np.array(b)).mean())
+
+
+def hard_render(scene, camera, lights, size):
+    """The forward-parity TPU rasterization path (same stages the
+    screenshot-geometry test uses)."""
+    import numpy as np
+
+    from raytpu.core.types import RenderConfig
+    from raytpu.ops.raster import (
+        cull_mask, pixel_shade, resolve_depth, row_bounds, vertex_stage,
+    )
+
+    cfg = RenderConfig(width=size, height=size)
+    keep = cull_mask(scene, camera, cfg)
+    g = resolve_depth(row_bounds(vertex_stage(scene, camera, cfg), cfg),
+                      keep, cfg)
+    color, _ = pixel_shade(g, scene, camera, lights, cfg)
+    return np.asarray(color).reshape(size, size, 3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--out", default="results/fit_reference")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vertex-noise", type=float, default=0.04)
+    ap.add_argument("--size", type=int, default=500)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytpu.utils.cache import enable as enable_cache
+
+    enable_cache()
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.image import quantize_u8, read_bmp, write_bmp
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.opt.fit import FitConfig, fit
+
+    ref_path = "/root/reference/rasteriser/screenshot.bmp"
+    ref_u8 = read_bmp(ref_path)
+    target = ref_u8.astype(np.float32) / 255.0
+    size = args.size
+    assert target.shape[:2] == (size, size), target.shape
+
+    camera = Camera.rasterizer_default()
+    scene_true = cornell_box(pad_to=32)
+
+    # Perturb: vertex noise + displaced, dimmed light.
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    sigma = args.vertex_noise
+    scene0 = scene_true.__class__(
+        v0=scene_true.v0 + sigma * jax.random.normal(k1, scene_true.v0.shape),
+        v1=scene_true.v1 + sigma * jax.random.normal(k2, scene_true.v1.shape),
+        v2=scene_true.v2 + sigma * jax.random.normal(k3, scene_true.v2.shape),
+        color=scene_true.color,
+        active=scene_true.active,
+    )
+    base = Lights.single(capacity=1)
+    lights0 = Lights(
+        position=base.position.at[0].set(
+            jnp.asarray([0.35, -0.3, -0.9], jnp.float32)),
+        color=base.color,
+        intensity=base.intensity.at[0].set(10.0),
+        mask=base.mask,
+        jitter=base.jitter,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    init_hard = hard_render(scene0, camera, lights0, size)
+    write_bmp(os.path.join(args.out, "init.bmp"), init_hard)
+    agree_init = class_agreement(quantize_u8(init_hard), ref_u8)
+    true_hard = hard_render(scene_true, camera,
+                            Lights.single(capacity=1), size)
+    agree_true = class_agreement(quantize_u8(true_hard), ref_u8)
+    log(f"[fit_reference] class agreement: true scene {agree_true:.4f}, "
+        f"perturbed init {agree_init:.4f}")
+
+    render_cfg = RenderConfig(width=size, height=size, mode="soft")
+    fit_cfg = FitConfig(
+        steps=args.steps,
+        renderer="rasterize",
+        stages=((10.0, 20.0, 0.34), (25.0, 80.0, 0.33),
+                (60.0, 400.0, 0.33)),
+        log_every=25,
+        checkpoint_dir=None,
+        image_dump_every=0,
+    )
+    t0 = time.time()
+    result = fit(target, scene0, camera, lights0, render_cfg, fit_cfg)
+    wall = time.time() - t0
+
+    fitted_hard = hard_render(result.scene, camera, result.lights, size)
+    write_bmp(os.path.join(args.out, "fitted.bmp"), fitted_hard)
+    agree_fit = class_agreement(quantize_u8(fitted_hard), ref_u8)
+
+    import shutil
+
+    shutil.copyfile(ref_path, os.path.join(args.out, "target.bmp"))
+
+    summary = {
+        "target": ref_path,
+        "size": size,
+        "steps": args.steps,
+        "seed": args.seed,
+        "vertex_noise": args.vertex_noise,
+        "wall_s": round(wall, 1),
+        "loss_init": float(result.losses[0]),
+        "loss_final": float(result.losses[-1]),
+        "class_agreement": {
+            "true_scene": agree_true,
+            "perturbed_init": agree_init,
+            "fitted": agree_fit,
+        },
+        "losses": [round(float(x), 8) for x in result.losses],
+    }
+    with open(os.path.join(args.out, "loss_curve.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "losses"},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

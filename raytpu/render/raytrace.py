@@ -105,9 +105,12 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 
     # Fused Pallas fast path (single light, hard shadows): primary
     # closest-hit AND the shadow occlusion bit come from ONE kernel launch
-    # (raytpu.kernels.intersect_pallas.closest_hit_occluded). Excluded for
-    # parity_record: there each sub-ray shades the RECORD's (possibly
-    # stale) hit, whose position differs from this sub-ray's own hit.
+    # (raytpu.kernels.intersect_pallas.closest_hit_occluded).
+    # parity_record is fused too: each sub-ray shades the RECORD's
+    # (possibly stale) hit, and occlusion is a pure function of the record
+    # POSITION — so the bits computed by the sub-ray that SET the record
+    # are carried alongside it (rec_occ below), bit-identical to
+    # re-tracing from the light at the record position.
     # Multi-chunk scenes (STL-scale) get conservative chunk culling
     # (kernels.cull): route single-light through the multi-source kernel
     # (S=1), which carries the phase mask — results stay bit-identical.
@@ -116,16 +119,13 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
         cfg.pallas_enabled
         and lights.capacity == 1
         and cfg.soft_shadow_samples == 1
-        and not parity_record
         and not big_scene
     )
     # Multi-source fused path (multi-light and/or soft shadows): ONE kernel
     # launch per sub-ray produces the primary hit AND the occlusion bit of
     # every (light, jitter-sample) shadow source — instead of 1 + L*S
     # separate intersection launches (closest_hit_occluded_multi).
-    fused_multi = (
-        cfg.pallas_enabled and not fused and not parity_record
-    )
+    fused_multi = cfg.pallas_enabled and not fused
     if fused:
         from raytpu.kernels.intersect_pallas import intersect_occluded_pallas
 
@@ -150,6 +150,10 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     rec_dist = jnp.full(xs.shape, _F32MAX, jnp.float32)
     rec_idx = jnp.zeros(xs.shape, jnp.int32)
     rec_pos = jnp.zeros((xs.shape[0], 3), jnp.float32)
+    # Occlusion bits AT THE RECORD position (parity-AA fused path): set by
+    # whichever sub-ray last updated the record.
+    rec_occ = jnp.zeros(xs.shape, bool)
+    rec_occ_rows = None
 
     for dx, dy in offsets:
         dirs = camera_ray_dirs(xs + dx, ys + dy, camera, cfg)
@@ -182,6 +186,20 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
         rec_pos = jnp.where(
             upd[:, None], hit_positions(camera.pos, dirs, hits), rec_pos
         )
+        if parity_record and fused:
+            # Occlusion is a pure function of the record position, so the
+            # bits the kernel computed for this sub-ray's own hit are the
+            # record's bits exactly when this sub-ray set the record.
+            rec_occ = jnp.where(upd, occluded, rec_occ)
+            occlusion_fn = (
+                lambda _pos, _delta, _r, _o=rec_occ: _o)  # noqa: E731
+        elif parity_record and fused_multi:
+            rec_occ_rows = (
+                jnp.where(upd[None, :], occlusion_rows, rec_occ_rows)
+                if rec_occ_rows is not None
+                else jnp.where(upd[None, :], occlusion_rows, False)
+            )
+            occlusion_rows = rec_occ_rows
 
         if parity_record:
             # Parity quirk: each sub-ray shades the RECORD's hit, which may

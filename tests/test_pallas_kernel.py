@@ -213,3 +213,24 @@ def test_full_render_image_identical():
         RenderConfig(width=32, height=32, use_pallas=True),
     ).image
     np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+
+
+def test_parity_aa_fused_matches_unfused():
+    """Parity-AA now runs fused (VERDICT round-1 item 5b): the occlusion
+    bits carried with the intersection record must make the fused render
+    bit-identical to the unfused parity path — single-light (fused) and
+    multi-light/soft-shadow (fused_multi) variants."""
+    scene = cornell_box()
+    cam = Camera.raytracer_default()
+    for lights, samples in (
+        (Lights.single(capacity=1), 1),   # fused single-source path
+        (Lights.single(capacity=2), 1),   # fused_multi path
+        (Lights.single(capacity=1), 4),   # fused_multi, jittered sources
+    ):
+        cfg_p = RenderConfig(width=32, height=32, mode="parity",
+                             aa_samples=3, soft_shadow_samples=samples,
+                             use_pallas=True)
+        cfg_x = cfg_p.replace(use_pallas=False)
+        img_f = raytrace_full(scene, cam, lights, cfg_p).image
+        img_x = raytrace_full(scene, cam, lights, cfg_x).image
+        np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_x))
