@@ -73,7 +73,11 @@ def class_agreement(img_u8, ref_u8, stride=10):
 
 def hard_render(scene, camera, lights, size):
     """The forward-parity TPU rasterization path (same stages the
-    screenshot-geometry test uses)."""
+    screenshot-geometry test uses). Jitted — op-by-op dispatch through
+    the remote TPU tunnel is seconds-per-op (CLAUDE.md)."""
+    import functools
+
+    import jax
     import numpy as np
 
     from raytpu.core.types import RenderConfig
@@ -82,20 +86,33 @@ def hard_render(scene, camera, lights, size):
     )
 
     cfg = RenderConfig(width=size, height=size)
-    keep = cull_mask(scene, camera, cfg)
-    g = resolve_depth(row_bounds(vertex_stage(scene, camera, cfg), cfg),
-                      keep, cfg)
-    color, _ = pixel_shade(g, scene, camera, lights, cfg)
-    return np.asarray(color).reshape(size, size, 3)
+
+    @functools.partial(jax.jit, static_argnames=("cfg_",))
+    def run(scene_, camera_, lights_, cfg_):
+        keep = cull_mask(scene_, camera_, cfg_)
+        g = resolve_depth(
+            row_bounds(vertex_stage(scene_, camera_, cfg_), cfg_),
+            keep, cfg_)
+        color, _ = pixel_shade(g, scene_, camera_, lights_, cfg_)
+        return color
+
+    return np.asarray(run(scene, camera, lights, cfg)).reshape(
+        size, size, 3)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", default="results/fit_reference")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--vertex-noise", type=float, default=0.04)
     ap.add_argument("--size", type=int, default=500)
+    ap.add_argument("--loss", default="chroma", choices=["chroma", "mse"],
+                    help="chroma = brightness-robust (the screenshot's "
+                         "absolute lighting is from an older build and "
+                         "unreproducible; color-region geometry is the "
+                         "recoverable signal)")
+    ap.add_argument("--lr-vertices", type=float, default=3e-3)
     args = ap.parse_args()
 
     import jax
@@ -155,8 +172,10 @@ def main():
     fit_cfg = FitConfig(
         steps=args.steps,
         renderer="rasterize",
-        stages=((10.0, 20.0, 0.34), (25.0, 80.0, 0.33),
-                (60.0, 400.0, 0.33)),
+        loss=args.loss,
+        lr_vertices=args.lr_vertices,
+        stages=((10.0, 20.0, 0.25), (25.0, 80.0, 0.25),
+                (60.0, 400.0, 0.25), (120.0, 1500.0, 0.25)),
         log_every=25,
         checkpoint_dir=None,
         image_dump_every=0,

@@ -151,6 +151,39 @@ def cmd_starfield(args):
     print(f"wrote {args.output}")
 
 
+def cmd_animate(args):
+    """Frame-sequence driver (the realtime-loop analog; R9 closure).
+    One jit reused across frames; reports frames/s."""
+    import json as _json
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.render.animate import animate, expand_script, realtime_preset
+
+    scene = cornell_box(pad_to=32)
+    if args.preset == "realtime":
+        camera, cfg = realtime_preset()
+    else:
+        camera = (Camera.rasterizer_default()
+                  if args.renderer == "rasterize"
+                  else Camera.raytracer_default())
+        cfg = RenderConfig(width=args.width, height=args.height,
+                           mode=args.mode)
+    lights = Lights.single(capacity=1)
+    keys = expand_script(args.script)
+    res = animate(scene, camera, lights, cfg, keys,
+                  renderer=args.renderer, dt_ms=args.dt,
+                  out_dir=args.out_dir, save_every=args.save_every)
+    print(_json.dumps({
+        "frames": res.n_frames,
+        "fps": round(res.fps, 1),
+        "ms_per_frame": round(res.ms_per_frame, 3),
+        "compile_s": round(res.compile_s, 2),
+        "saved": len(res.paths),
+        "out_dir": args.out_dir,
+    }))
+
+
 def cmd_fit(args):
     import numpy as np
 
@@ -206,6 +239,11 @@ def main(argv=None):
         prog="raytpu",
         description="TPU-native differentiable raytracer + rasterizer",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force a JAX platform. Needed because this image's "
+             "sitecustomize re-pins JAX_PLATFORMS at interpreter start, "
+             "so the env var alone cannot select CPU.")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("render", help="raytrace to a BMP")
@@ -237,10 +275,39 @@ def main(argv=None):
     p.add_argument("--resume", default=None)
     p.set_defaults(func=cmd_fit)
 
+    p = sub.add_parser(
+        "animate",
+        help="frame-sequence driver (realtime Update/Draw analog)",
+    )
+    p.add_argument("--script", default="left*30,up*20,d*20,right*30",
+                   help="per-frame key tokens, e.g. 'left*20,up*5,w*10' "
+                        "(keys: up down left right w s a d none)")
+    p.add_argument("--renderer", choices=["raytrace", "rasterize"],
+                   default="raytrace")
+    p.add_argument("--preset", choices=["none", "realtime"],
+                   default="none",
+                   help="realtime = 150x150 f=250 cam(0,0,-4.3) "
+                        "(raytracer.cpp:61-65)")
+    p.add_argument("--width", type=int, default=500)
+    p.add_argument("--height", type=int, default=500)
+    p.add_argument("--mode", choices=["parity", "clean"], default="parity")
+    p.add_argument("--dt", type=float, default=20.0,
+                   help="virtual frame time in ms for the rasteriser's "
+                        "dt-scaled motion (rasteriser.cpp:330-373)")
+    p.add_argument("--out-dir", default=None,
+                   help="write frame_%%04d.bmp here (omit for pure "
+                        "throughput measurement)")
+    p.add_argument("--save-every", type=int, default=1)
+    p.set_defaults(func=cmd_animate)
+
     p = sub.add_parser("bench", help="single-chip benchmark")
     p.set_defaults(func=cmd_bench)
 
     args = parser.parse_args(argv)
+    if args.platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.func(args)
 
 

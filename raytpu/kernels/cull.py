@@ -33,10 +33,73 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Conservative angular slack added to the cone-vs-sphere test: covers f32
-# rounding in the normalizations and acos/asin (which are good to a few
-# ulp); 1e-3 rad of margin costs <0.1% extra chunks kept.
-_ANGLE_MARGIN = 1e-3
+# f32 machine epsilon scale for the derived conservativeness bounds below.
+_EPS = 1.1920929e-07
+# Absolute f32 error budget for a computed cosine (normalize + 3-term dot
+# + the vector arithmetic feeding them): ~30 rounding steps on magnitudes
+# <= 1, taken x2 for headroom.
+_E_COS = 64.0 * _EPS
+# Relative error budget for a computed sine ratio r/d (norm + divide).
+_E_SIN = 16.0 * _EPS
+
+
+def _cs_from_cos(cosx):
+    """(cos, sin, e_cos, e_sin) for an angle GIVEN by its cosine.
+    e_sin propagates the sqrt conditioning: sin = sqrt(1-cos^2) has
+    d sin = |cos|/sin * d cos, unbounded as sin -> 0 — the floor turns
+    that into over-keeping (conservative) instead of over-culling."""
+    c = jnp.clip(cosx, -1.0, 1.0)
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    e_s = jnp.abs(c) * _E_COS / jnp.maximum(s, 1e-6)
+    return c, s, _E_COS, e_s
+
+
+def _cs_from_sin(sinx):
+    """(cos, sin, e_cos, e_sin) for an angle in [0, pi/2] GIVEN by its
+    sine (the asin(r/d) sphere half-angles)."""
+    s = jnp.clip(sinx, 0.0, 1.0)
+    c = jnp.sqrt(jnp.maximum(1.0 - s * s, 0.0))
+    e_s = s * _E_SIN + _EPS
+    e_c = s * e_s / jnp.maximum(c, 1e-6)
+    return c, s, e_c, e_s
+
+
+def _angle_le_sum(cos_alpha, a, b):
+    """Conservative test  alpha <= A + B  entirely in cosine space.
+
+    a, b: (cos, sin, e_cos, e_sin) tuples for A in [0, pi], B in
+    [0, pi/2]. Replaces the round-1 arccos/arcsin formulation with its
+    empirical 1e-3 rad margin (ADVICE round-1 item 1): inverting noisy
+    cosines amplifies error by 1/sin near degenerate cones (a flat
+    replicate-padded tile has theta ~ 0, where arccos error reaches
+    sqrt(2 * e) ~ 2e-3 rad > the margin). Comparing cosines directly
+    keeps every error term bounded and explicitly propagated:
+
+      alpha <= A + B  (both sides in [0, pi])
+        <=>  cos(alpha) >= cos(A + B)   when A + B <= pi
+        and is always TRUE               when A + B >= pi
+                                         (cos A + cos B <= 0).
+    """
+    ca, sa, eca, esa = a
+    cb, sb, ecb, esb = b
+    cos_sum = ca * cb - sa * sb
+    e_sum = (
+        jnp.abs(cb) * eca + jnp.abs(ca) * ecb
+        + jnp.abs(sb) * esa + jnp.abs(sa) * esb + 4.0 * _EPS
+    )
+    wraps = (ca + cb) <= 0.0  # A + B >= pi: every direction overlaps
+    return (cos_alpha + _E_COS >= cos_sum - e_sum) | wraps
+
+
+def _range_slack(*terms):
+    """Scale-relative slack for distance comparisons (replaces the
+    round-1 absolute 1e-4, which f32 relative error exceeds beyond
+    ~1e3-unit scenes): a few-eps fraction of every participating
+    magnitude."""
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return 32.0 * _EPS * jnp.abs(total)
 
 
 def chunk_spheres(v0: jax.Array, v1: jax.Array, v2: jax.Array,
@@ -112,12 +175,16 @@ def keep_mask(origin: jax.Array, axes: jax.Array, cos_half: jax.Array,
     cos_alpha = jnp.sum(
         w * axes[:, None, :], axis=-1
     ) / dist_safe                                        # (Ti, C)
-    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
-    sin_beta = jnp.clip(radii[None, :] / dist_safe, 0.0, 1.0)
-    beta = jnp.arcsin(sin_beta)
-    theta = jnp.arccos(cos_half)[:, None]                # (Ti, 1)
-    keep = alpha <= theta + beta + _ANGLE_MARGIN
-    keep = keep | (dist <= radii[None, :])               # origin inside
+    theta = _cs_from_cos(cos_half)
+    beta = _cs_from_sin(radii[None, :] / dist_safe)
+    keep = _angle_le_sum(
+        cos_alpha,
+        tuple(x[:, None] if getattr(x, "ndim", 0) == 1 else x
+              for x in theta),
+        beta,
+    )
+    # Origin inside the sphere (relative slack keeps boundary cases).
+    keep = keep | (dist <= radii[None, :] + _range_slack(dist))
     keep = keep & (radii[None, :] >= 0.0)
     return keep.astype(jnp.int32)
 
@@ -165,26 +232,28 @@ def shadow_keep_mask(primary_keep: jax.Array, centers: jax.Array,
     axis = centers[None, :, :] - a                       # (S, Cj, 3)
     d_j = jnp.linalg.norm(axis, axis=-1)                 # (S, Cj)
     d_j_safe = jnp.maximum(d_j, 1e-30)
-    beta_j = jnp.arcsin(jnp.clip(radii[None, :] / d_j_safe, 0.0, 1.0))
+    beta_j = _cs_from_sin(radii[None, :] / d_j_safe)
     # Source inside sphere_j: the hull is the sphere itself but rays can
     # leave in ANY direction — keep everything for that j (rare).
-    inside_j = d_j <= radii[None, :]                     # (S, Cj)
+    inside_j = d_j <= radii[None, :] + _range_slack(d_j)  # (S, Cj)
 
     w = centers[None, None, :, :] - a[:, :, None, :]     # (S, 1, Cc, 3)
     d_c = jnp.linalg.norm(w, axis=-1)                    # (S, 1, Cc)
     d_c_safe = jnp.maximum(d_c, 1e-30)
-    beta_c = jnp.arcsin(jnp.clip(radii[None, None, :] / d_c_safe,
-                                 0.0, 1.0))
+    beta_c = _cs_from_sin(radii[None, None, :] / d_c_safe)
     cos_ang = jnp.sum(
         w * (axis / d_j_safe[..., None])[:, :, None, :], axis=-1
     ) / d_c_safe                                         # (S, Cj, Cc)
-    ang = jnp.arccos(jnp.clip(cos_ang, -1.0, 1.0))
-    angle_ok = ang <= beta_j[:, :, None] + beta_c + _ANGLE_MARGIN
+    angle_ok = _angle_le_sum(
+        cos_ang, tuple(x[..., None] if getattr(x, "ndim", 0) else x
+                       for x in beta_j), beta_c,
+    )
+    rhs = (d_j + radii[None, :])[:, :, None]
     range_ok = (
         d_c - radii[None, None, :]
-        <= (d_j + radii[None, :])[:, :, None] + 1e-4
+        <= rhs + _range_slack(d_c, radii[None, None, :], rhs)
     )
-    origin_in_c = d_c <= radii[None, None, :]            # src inside c
+    origin_in_c = d_c <= radii[None, None, :] + _range_slack(d_c)
     valid_j = (radii >= 0.0)[None, :, None]
     valid_c = (radii >= 0.0)[None, None, :]
     pair = (
@@ -226,24 +295,26 @@ def position_shadow_mask(pos: jax.Array, src_pos: jax.Array,
     axis = p0[:, None, :] - a                             # (Ti, S, 3)
     d_t = jnp.linalg.norm(axis, axis=-1)
     d_t_safe = jnp.maximum(d_t, 1e-30)
-    beta_t = jnp.arcsin(jnp.clip(pr[:, None] / d_t_safe, 0.0, 1.0))
-    inside_t = d_t <= pr[:, None]                         # src in tile bound
+    beta_t = _cs_from_sin(pr[:, None] / d_t_safe)
+    inside_t = d_t <= pr[:, None] + _range_slack(d_t)     # src in tile bound
 
     w = centers[None, None, :, :] - a[:, :, None, :]      # (1, S, C, 3)
     d_c = jnp.linalg.norm(w, axis=-1)                     # (1, S, C)
     d_c_safe = jnp.maximum(d_c, 1e-30)
-    beta_c = jnp.arcsin(jnp.clip(radii[None, None, :] / d_c_safe,
-                                 0.0, 1.0))
+    beta_c = _cs_from_sin(radii[None, None, :] / d_c_safe)
     cos_ang = jnp.sum(
         w * (axis / d_t_safe[..., None])[:, :, None, :], axis=-1
     ) / d_c_safe                                          # (Ti, S, C)
-    ang = jnp.arccos(jnp.clip(cos_ang, -1.0, 1.0))
-    angle_ok = ang <= beta_t[:, :, None] + beta_c + _ANGLE_MARGIN
+    angle_ok = _angle_le_sum(
+        cos_ang, tuple(x[..., None] if getattr(x, "ndim", 0) else x
+                       for x in beta_t), beta_c,
+    )
+    rhs = (d_t + pr[:, None])[:, :, None]
     range_ok = (
         d_c - radii[None, None, :]
-        <= (d_t + pr[:, None])[:, :, None] + 1e-4
+        <= rhs + _range_slack(d_c, radii[None, None, :], rhs)
     )
-    origin_in_c = d_c <= radii[None, None, :]
+    origin_in_c = d_c <= radii[None, None, :] + _range_slack(d_c)
     keep = (
         ((angle_ok & range_ok) | inside_t[:, :, None] | origin_in_c)
         & (radii >= 0.0)[None, None, :]

@@ -235,7 +235,22 @@ def chunk_screen_mask(sx, sy, zinv, valid, px, py, tile_p: int,
     rymin = jnp.min(pyt, axis=1)[:, None]
     rymax = jnp.max(pyt, axis=1)[:, None]
 
-    eps = 1e-3  # float slack; coverage boundary pixels must stay kept
+    # Conservative slack (ADVICE round-1 item 2): the kernel's normalized
+    # edge functions carry ~1e-4 px absolute rounding error that a sliver
+    # triangle's sharp apex amplifies by 1/sin(half-angle) — an absolute
+    # 1e-3 px margin was not provably enough. A few-pixel fixed margin
+    # plus a relative term for large coordinate magnitudes costs ~nothing
+    # (chunk AABBs are coarse) and dominates the amplified error for any
+    # triangle that passes the kernel's area_ok floor.
+    def _finite_mag(x):
+        ax = jnp.abs(x)
+        return jnp.max(jnp.where(ax < 1e30, ax, 0.0))  # skip +-big sentinels
+
+    mag = jnp.maximum(
+        jnp.maximum(_finite_mag(cxmin), _finite_mag(cxmax)),
+        jnp.maximum(_finite_mag(cymin), _finite_mag(cymax)),
+    )
+    eps = 2.0 + 1e-5 * mag
     keep = (
         (cxmin[None, :] <= rxmax + eps) & (cxmax[None, :] >= rxmin - eps)
         & (cymin[None, :] <= rymax + eps) & (cymax[None, :] >= rymin - eps)

@@ -34,6 +34,14 @@ class FitConfig:
     lr_colors: float = 1e-2
     lr_lights: float = 1e-2
     renderer: str = "rasterize"  # or "raytrace"
+    # 'mse'    — plain image MSE.
+    # 'chroma' — brightness-robust: MSE on normalized chroma
+    #            x / (sum_rgb(x) + 0.15) plus 0.05x image-MSE anchor. Use
+    #            when the target's absolute lighting can't be reproduced
+    #            (e.g. the reference screenshot from an older build —
+    #            tests/test_reference_screenshot.py) and the signal that
+    #            matters is color-region geometry.
+    loss: str = "mse"
     # (edge_sharpness, z_sharpness, fraction_of_steps) annealing stages.
     stages: tuple = ((10.0, 20.0, 0.5), (40.0, 200.0, 0.5))
     checkpoint_every: int = 100
@@ -126,6 +134,16 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
             def loss_fn(p):
                 s, l = p
                 img = render(s, camera, l, _cfg)
+                if fit_cfg.loss == "chroma":
+                    def chroma(x):
+                        return x / (
+                            jnp.sum(x, axis=-1, keepdims=True) + 0.15
+                        )
+
+                    return (
+                        jnp.mean((chroma(img) - chroma(target)) ** 2)
+                        + 0.05 * jnp.mean((img - target) ** 2)
+                    )
                 return jnp.mean((img - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
