@@ -112,7 +112,14 @@ def main():
                          "absolute lighting is from an older build and "
                          "unreproducible; color-region geometry is the "
                          "recoverable signal)")
-    ap.add_argument("--lr-vertices", type=float, default=3e-3)
+    ap.add_argument("--lr-vertices", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="cosine",
+                    choices=["constant", "cosine"])
+    ap.add_argument("--max-sharp", type=float, default=1.0,
+                    help="scale on the final annealing sharpness; <1 "
+                         "stops the anneal earlier (very sharp finals "
+                         "make the soft gradients spiky and HURT "
+                         "recovery — measured)")
     args = ap.parse_args()
 
     import jax
@@ -174,8 +181,9 @@ def main():
         renderer="rasterize",
         loss=args.loss,
         lr_vertices=args.lr_vertices,
-        stages=((10.0, 20.0, 0.25), (25.0, 80.0, 0.25),
-                (60.0, 400.0, 0.25), (120.0, 1500.0, 0.25)),
+        lr_schedule=args.lr_schedule,
+        stages=((10.0, 20.0, 0.34), (25.0, 80.0, 0.33),
+                (60.0 * args.max_sharp, 400.0 * args.max_sharp, 0.33)),
         log_every=25,
         checkpoint_dir=None,
         image_dump_every=0,

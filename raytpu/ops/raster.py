@@ -18,11 +18,12 @@ The pipeline:
                        (`:606`) is exactly "max zinv, first-wins ties".
   5. pixel_shade     — deferred PixelShader over the G-buffer (`:549-589`).
 
-Parity caveat: the reference accumulates interpolation in float
-(``current += step``, `:626-635`) while this path computes ``a + k*step``
-directly — identical up to 1 ulp, which can flip a boundary pixel; the numpy
-oracle (raytpu.oracle.rasterizer_oracle) reproduces the accumulation
-exactly and anchors the tests.
+Parity: the reference accumulates edge interpolation in float
+(``current += step``, `:626-635`), which has no closed form; parity mode
+replays the accumulation bit-for-bit with a lax.scan (row_bounds_exact),
+making coverage and depth winners EXACTLY the oracle's
+(raytpu.oracle.rasterizer_oracle). 'clean'/'soft' modes use the
+closed-form ``a + k*step`` (identical to 1 ulp, no sequential scan).
 """
 
 from __future__ import annotations
@@ -174,7 +175,8 @@ def row_bounds(vd: VertexData, cfg: RenderConfig) -> RowBounds:
     interpolates |dy|+1 samples — one per row — truncating x to int; the
     left/right extremes update on STRICT inequality in edge order
     (`:716-733`). Here each edge's sample at screen row y is computed in
-    closed form (k = |y - y_i|, attribute = a + k*step).
+    closed form (k = |y - y_i|, attribute = a + k*step). Parity mode uses
+    row_bounds_exact instead (bit-faithful float accumulation).
     """
     T = vd.px.shape[0]
     H = cfg.height
@@ -215,6 +217,115 @@ def row_bounds(vd: VertexData, cfg: RenderConfig) -> RowBounds:
         left_z = jnp.where(upd_l, z, left_z)
         left_p = jnp.where(upd_l[..., None], p, left_p)
 
+        xr = jnp.where(visited, x, -_INTMAX)
+        upd_r = xr > right_x
+        right_x = jnp.where(upd_r, xr, right_x)
+        right_z = jnp.where(upd_r, z, right_z)
+        right_p = jnp.where(upd_r[..., None], p, right_p)
+
+    return RowBounds(left_x, right_x, left_z, right_z, left_p, right_p)
+
+
+def row_bounds_exact(vd: VertexData, cfg: RenderConfig) -> RowBounds:
+    """ComputePolygonRows with the reference's float ACCUMULATION
+    semantics, bit-for-bit (`Interpolate`, `rasteriser.cpp:615-637`):
+    each edge walks ``current += step`` in f32 and truncates per sample,
+    so sample k is k chained rounded adds — there is no closed form.
+
+    A `lax.scan` of 2H steps replays the walk for all T triangles at
+    once; at step k every edge's sample lands on screen row
+    ``y_i + k*sign(dy)`` (the y accumulator steps by exactly +-1.0, which
+    is exact in f32 for |y| < 2^24), and the left/right extremes update
+    in place via a masked scatter. Edges run as three SEQUENTIAL scans to
+    preserve the reference's edge-major strict-inequality tie order
+    (`:716-733`). Edges whose start row lies outside [-H, 2H) cannot
+    reach the screen within the 2H-step horizon; they fall back to the
+    closed-form sample (off-screen-start geometry, not present in the
+    parity scenes — and a 1-ulp flip there moves an extreme by one pixel
+    at most).
+
+    This is the parity path: it trades a 6H-step sequential scan for the
+    rasterizer bit-parity claim (round-1 VERDICT stretch 9). 'clean' and
+    'soft' modes keep the closed-form row_bounds.
+    """
+    T = vd.px.shape[0]
+    H = cfg.height
+    L = 2 * H  # static accumulation horizon
+    y_rows = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+    left_x = jnp.full((T, H), _INTMAX, jnp.int32)
+    right_x = jnp.full((T, H), -_INTMAX, jnp.int32)
+    left_z = jnp.zeros((T, H), jnp.float32)
+    right_z = jnp.zeros((T, H), jnp.float32)
+    left_p = jnp.zeros((T, H, 3), jnp.float32)
+    right_p = jnp.zeros((T, H, 3), jnp.float32)
+
+    ar_t = jnp.arange(T, dtype=jnp.int32)
+
+    for i in range(3):
+        j = (i + 1) % 3
+        xi, xj = vd.px[:, i], vd.px[:, j]          # (T,) int32
+        yi, yj = vd.py[:, i], vd.py[:, j]
+        zi, zj = vd.zinv[:, i], vd.zinv[:, j]      # (T,) f32
+        pi, pj = vd.pos3d[:, i], vd.pos3d[:, j]    # (T, 3) f32
+
+        dy = yj - yi
+        ady = jnp.abs(dy)
+        dirn = jnp.sign(dy)                        # int32, 0 when dy == 0
+        denom = jnp.maximum(ady, 1).astype(jnp.float32)
+        sx = (xj - xi).astype(jnp.float32) / denom
+        sz = (zj - zi) / denom
+        sp = (pj - pi) / denom[:, None]
+        in_horizon = (yi >= -H) & (yi < 2 * H)
+
+        def body(carry, k, yi=yi, ady=ady, dirn=dirn, sx=sx, sz=sz, sp=sp,
+                 in_horizon=in_horizon):
+            cx, cz, cp, lx, lz, lp, rx, rz, rp = carry
+            r = yi + k * dirn
+            x_int = jnp.trunc(cx).astype(jnp.int32)
+            valid = ((k <= ady) & in_horizon & (r >= 0) & (r < H))
+            rc = jnp.clip(r, 0, H - 1)
+
+            old = lx[ar_t, rc]
+            upd = valid & (x_int < old)
+            lx = lx.at[ar_t, rc].set(jnp.where(upd, x_int, old))
+            lz = lz.at[ar_t, rc].set(jnp.where(upd, cz, lz[ar_t, rc]))
+            lp = lp.at[ar_t, rc].set(
+                jnp.where(upd[:, None], cp, lp[ar_t, rc]))
+
+            old = rx[ar_t, rc]
+            upd = valid & (x_int > old)
+            rx = rx.at[ar_t, rc].set(jnp.where(upd, x_int, old))
+            rz = rz.at[ar_t, rc].set(jnp.where(upd, cz, rz[ar_t, rc]))
+            rp = rp.at[ar_t, rc].set(
+                jnp.where(upd[:, None], cp, rp[ar_t, rc]))
+
+            return (cx + sx, cz + sz, cp + sp,
+                    lx, lz, lp, rx, rz, rp), None
+
+        init = (xi.astype(jnp.float32), zi, pi,
+                left_x, left_z, left_p, right_x, right_z, right_p)
+        carry, _ = jax.lax.scan(body, init,
+                                jnp.arange(L, dtype=jnp.int32))
+        (_, _, _, left_x, left_z, left_p,
+         right_x, right_z, right_p) = carry
+
+        # Closed-form fallback for edges starting beyond the horizon.
+        lo = jnp.minimum(yi, yj)[:, None]
+        hi = jnp.maximum(yi, yj)[:, None]
+        visited = (~in_horizon)[:, None] & (y_rows >= lo) & (y_rows <= hi)
+        kf = jnp.abs(y_rows - yi[:, None]).astype(jnp.float32)
+        x = jnp.trunc(
+            xi[:, None].astype(jnp.float32) + kf * sx[:, None]
+        ).astype(jnp.int32)
+        z = zi[:, None] + kf * sz[:, None]
+        p = pi[:, None, :] + kf[..., None] * sp[:, None, :]
+
+        xl = jnp.where(visited, x, _INTMAX)
+        upd_l = xl < left_x
+        left_x = jnp.where(upd_l, xl, left_x)
+        left_z = jnp.where(upd_l, z, left_z)
+        left_p = jnp.where(upd_l[..., None], p, left_p)
         xr = jnp.where(visited, x, -_INTMAX)
         upd_r = xr > right_x
         right_x = jnp.where(upd_r, xr, right_x)

@@ -324,10 +324,13 @@ def raster_block(scene: Scene, camera: Camera, lights: Lights,
     from raytpu.render.soft import _screen_vertices, _shade_winner
 
     sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
-    keep = scene.active  # rasterize_exact semantics: culling is a
-    # correctness-neutral optimization (SURVEY §2 Z5/Z6) and the
-    # reference's frustum matrix assumes focal ~ resolution; the exact
-    # path leaves it to the z-test like rasterize_exact does.
+    # Same culling as single-chip rasterize_exact (backface Z5 honored
+    # under sharding; frustum Z6 stays parity-only — see rasterize_exact).
+    # O(T) on the replicated scene, piecewise-constant.
+    from raytpu.ops.raster import cull_mask as _hard_cull
+
+    keep = jax.lax.stop_gradient(
+        _hard_cull(scene, camera, cfg.replace(frustum_cull=False)))
     xs, ys = _block_grid(cfg, y0, rows)
 
     mi = jax.lax.axis_index(MODEL_AXIS)

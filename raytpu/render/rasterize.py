@@ -28,6 +28,7 @@ from raytpu.ops.raster import (
     pixel_shade,
     resolve_depth,
     row_bounds,
+    row_bounds_exact,
     vertex_stage,
 )
 
@@ -50,7 +51,11 @@ def _rasterize_full(scene: Scene, camera: Camera, lights: Lights,
                     cfg: RenderConfig) -> RasterOut:
     keep = cull_mask(scene, camera, cfg)
     vd = vertex_stage(scene, camera, cfg)
-    bounds = row_bounds(vd, cfg)
+    # Parity replays the reference's float-ACCUMULATED edge walk
+    # bit-for-bit; other modes use the closed-form interpolation (same
+    # geometry to 1 ulp, no sequential scan).
+    bounds = (row_bounds_exact(vd, cfg) if cfg.mode == "parity"
+              else row_bounds(vd, cfg))
     g = resolve_depth(bounds, keep, cfg)
     color, fd = pixel_shade(g, scene, camera, lights, cfg)
     img = color.reshape(cfg.height, cfg.width, 3)

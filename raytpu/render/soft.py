@@ -473,7 +473,17 @@ def rasterize_exact(scene: Scene, camera: Camera, lights: Lights,
     """
     H, W = cfg.height, cfg.width
     sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
-    keep = scene.active
+    # Honor the reference's backface culling toggle (Z5,
+    # `rasteriser.cpp:404-412`) in clean mode too: it is part of the
+    # reference pipeline, not a scanline quirk, and it halves the winner
+    # search. Frustum culling (Z6) stays parity-only: its any-VERTEX-
+    # inside test (`:444-445`) wrongly culls triangles whose interior
+    # covers the screen when focal >> resolution — a reference bug the
+    # clean path does not reproduce. Piecewise-constant, no grad path.
+    from raytpu.ops.raster import cull_mask as _hard_cull
+
+    keep = jax.lax.stop_gradient(
+        _hard_cull(scene, camera, cfg.replace(frustum_cull=False)))
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
