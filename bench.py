@@ -7,17 +7,22 @@ is value_and_grad of an image MSE wrt scene + light parameters.
 
 The JSON line also records (VERDICT round-1 item 4 — honest accounting):
   fwd_ms             chained forward-only frame time (same dispatch-free
-                     lax.scan methodology as the train step — the round-1
-                     artifact where unchained fwd read slower than fwd+bwd
-                     is gone)
+                     lax.scan methodology as the train step)
   rasterize          hard rasterizer fwd+bwd (BASELINE config 2)
   soft_raytrace /    differentiable-mode fwd+bwd via the fused Pallas
-  soft_rasterize     soft kernels (VERDICT round-1 item 1)
-  pct_roof_est       measured-vs-speed-of-light estimate for the headline:
-                     ~25 VPU ops per ray-triangle test (kernel_lab
-                     methodology), primary+shadow sweeps, backward ~2x
-                     forward, against the ~2.5 Tops/s effective VPU roof
-                     this chip sustains on the 9k-tri kernel (README).
+  soft_rasterize     soft kernels
+  pct_roof_est       measured-vs-speed-of-light estimate for the headline
+
+Robustness (VERDICT round-2 item 1 — the round-2 driver run timed out with
+nothing on stdout): measurement runs in a time-boxed child that prints a
+progressively-updated JSON line after EVERY completed metric; the parent
+takes the child's LAST parseable line, so even a SIGKILLed child yields
+its best-known result. The parent itself traps SIGTERM/SIGINT and emits
+the best line seen so far before dying. Cold Pallas compiles through this
+image's remote-compile tunnel have minutes-level variance, hence the
+budgeted child + persistent compile cache (raytpu.utils.cache) + an XLA
+fallback child; a fully-failed round still prints an in-process XLA
+headline as a last resort.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 baseline is the fastest CPU re-implementation we have of the same math —
@@ -31,8 +36,15 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
+
+# Oracle-forward Mrays/s on this image's CPU, re-measured 2026-08
+# (bench_cpu_oracle). Hardcoded so the fallback paths never spend driver
+# budget on the baseline; --measure-baseline re-derives it.
+BASELINE_MRAYS = 0.22
 
 
 def log(*a):
@@ -120,7 +132,23 @@ def _roof_pct(train_ms, size, tris=32):
     return round(ideal_ms / train_ms * 100.0, 1)
 
 
-def bench_tpu(size=512, iters=20, use_pallas=None):
+def _result_json(res, impl, complete, size=512):
+    out = {
+        "metric": (f"Mrays/s/chip fwd+bwd {size}x{size} Cornell "
+                   f"(primary+shadow, {impl})"),
+        "value": res["mrays"],
+        "unit": "Mrays/s",
+        "vs_baseline": round(res["mrays"] / BASELINE_MRAYS, 2),
+        "impl": impl,
+        "complete": complete,
+    }
+    out.update({k: v for k, v in res.items() if k != "mrays"})
+    return json.dumps(out)
+
+
+def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
+    """Measure all metrics, calling report(res_dict, complete) after each
+    one so partial progress survives the process being killed."""
     import jax
 
     from raytpu.utils.cache import enable as enable_cache
@@ -133,6 +161,7 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     from raytpu.render.raytrace import raytrace_full
     from raytpu.render.soft import rasterize_soft, raytrace_soft
 
+    report = report or (lambda res, complete: None)
     scene = cornell_box(pad_to=32)
     lights = Lights.single(capacity=1)
     cam_rt = Camera.raytracer_default()
@@ -149,14 +178,16 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     rays = 2 * size * size
     res["train_ms"] = round(train_ms, 3)
     res["mrays"] = round(rays / train_ms / 1e3, 1)
+    res["pct_roof_est"] = _roof_pct(train_ms, size)
     log(f"[bench] raytrace fwd+bwd: {train_ms:.2f} ms -> "
         f"{res['mrays']} Mrays/s")
+    report(res, False)
 
     res["fwd_ms"] = round(_chain_fwd(rt, (scene, lights), iters), 3)
     res["fwd_mrays"] = round(rays / res["fwd_ms"] / 1e3, 1)
     log(f"[bench] raytrace fwd-only: {res['fwd_ms']} ms -> "
         f"{res['fwd_mrays']} Mrays/s")
-    res["pct_roof_est"] = _roof_pct(train_ms, size)
+    report(res, False)
 
     # --- hard rasterize fwd+bwd (BASELINE config 2) ---------------------
     rz = lambda s, l: rasterize(s, cam_rz, l, cfg)  # noqa: E731
@@ -167,6 +198,7 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     }
     log(f"[bench] rasterize fwd+bwd: {rz_ms:.2f} ms -> "
         f"{res['rasterize']['mrays']} Mrays/s")
+    report(res, False)
 
     # --- differentiable mode via the fused soft kernels -----------------
     cfg_soft = RenderConfig(width=size, height=size, mode="soft",
@@ -180,6 +212,7 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     }
     log(f"[bench] soft raytrace fwd+bwd: {srt_ms:.2f} ms -> "
         f"{res['soft_raytrace']['mrays']} Mrays/s")
+    report(res, False)
 
     srz = lambda s, l: rasterize_soft(s, cam_rz, l, cfg_soft)  # noqa: E731
     srz_ms = _chain_train(srz, (scene, lights), max(iters // 2, 5))
@@ -189,6 +222,7 @@ def bench_tpu(size=512, iters=20, use_pallas=None):
     }
     log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.2f} ms -> "
         f"{res['soft_rasterize']['mrays']} Mrays/s")
+    report(res, True)
     return res
 
 
@@ -208,16 +242,64 @@ def bench_cpu_oracle(size=128):
     return mrays
 
 
-def _result_json(res, baseline_mrays, impl):
-    out = {
-        "metric": ("Mrays/s/chip fwd+bwd 512x512 Cornell "
-                   f"(primary+shadow, {impl})"),
-        "value": res["mrays"],
-        "unit": "Mrays/s",
-        "vs_baseline": round(res["mrays"] / baseline_mrays, 2),
-    }
-    out.update({k: v for k, v in res.items() if k != "mrays"})
-    return json.dumps(out)
+def _run_child(impl, timeout, size=512, iters=20, platform="default"):
+    """Run a child bench and return its LAST parseable JSON line (the
+    child reports progressively, so even a killed child yields its most
+    recent completed metrics)."""
+    import subprocess
+
+    cmd = [sys.executable, __file__, "--impl", impl, "--progressive",
+           "--size", str(size), "--iters", str(iters),
+           "--platform", platform]
+    log(f"[bench] child: {impl} (budget {timeout:.0f}s)")
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout)
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        stdout = exc.stdout or ""
+        stderr = exc.stderr or ""
+        rc = "timeout"
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+    best = None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                best = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    log(f"[bench] child {impl} rc={rc} "
+        f"parsed={'yes' if best else 'no'}; stderr tail: {stderr[-500:]}")
+    return best
+
+
+class _Emitter:
+    """Holds the best-known result line and guarantees it is printed to
+    stdout exactly once, even on SIGTERM/SIGINT."""
+
+    def __init__(self):
+        self.line = None
+        self.printed = False
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, self._on_signal)
+
+    def update(self, res_dict):
+        if res_dict is not None:
+            self.line = json.dumps(res_dict)
+
+    def _on_signal(self, signum, frame):
+        log(f"[bench] got signal {signum}; emitting best-known result")
+        self.emit()
+        os._exit(0)
+
+    def emit(self):
+        if not self.printed and self.line is not None:
+            print(self.line, flush=True)
+            self.printed = True
 
 
 def main():
@@ -226,42 +308,86 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", choices=["auto", "pallas", "xla"],
                     default="auto")
-    ap.add_argument("--pallas-timeout", type=float, default=900.0,
-                    help="seconds to allow the Pallas-path child before "
-                         "falling back to the XLA path")
+    ap.add_argument("--progressive", action="store_true",
+                    help="print a JSON line after every completed metric "
+                         "(child mode; the parent takes the last line)")
+    ap.add_argument("--pallas-timeout", type=float, default=300.0,
+                    help="seconds allowed for the Pallas-path child")
+    ap.add_argument("--xla-timeout", type=float, default=240.0,
+                    help="seconds allowed for the XLA fallback child")
+    ap.add_argument("--measure-baseline", action="store_true",
+                    help="re-measure the numpy-oracle baseline instead of "
+                         "using the hardcoded constant")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--platform", choices=["default", "cpu"],
+                    default="default",
+                    help="cpu = force the CPU backend (smoke tests; env "
+                         "vars alone cannot override this image's "
+                         "sitecustomize pin)")
     args = ap.parse_args()
 
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    global BASELINE_MRAYS
+    if args.measure_baseline:
+        BASELINE_MRAYS = bench_cpu_oracle()
+
     if args.impl in ("pallas", "xla"):
-        res = bench_tpu(use_pallas=(args.impl == "pallas"))
-        print(_result_json(res, bench_cpu_oracle(), args.impl),
-              flush=True)
+        use_pallas = args.impl == "pallas"
+        if args.progressive:
+            def report(res, complete):
+                print(_result_json(res, args.impl, complete,
+                                   size=args.size), flush=True)
+            bench_tpu(size=args.size, iters=args.iters,
+                      use_pallas=use_pallas, report=report)
+        else:
+            res = bench_tpu(size=args.size, iters=args.iters,
+                            use_pallas=use_pallas)
+            print(_result_json(res, args.impl, True, size=args.size),
+                  flush=True)
         return
 
     # auto: the fused Pallas kernels are ~3x faster but their first
     # (uncached) compile through this image's remote-compile tunnel has
-    # minutes-level variance — run them in a time-boxed child and fall
-    # back to the always-fast XLA path. Successful child runs populate
-    # the persistent compilation cache, making later runs quick.
-    import subprocess
+    # minutes-level variance — run them in a time-boxed child that
+    # reports progressively, fall back to the XLA path, and as a last
+    # resort measure the XLA headline in-process. Whatever happens, ONE
+    # JSON line reaches stdout (SIGTERM included).
+    emitter = _Emitter()
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--impl", "pallas"],
-            capture_output=True, text=True, timeout=args.pallas_timeout,
-        )
-        if proc.returncode == 0:
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line, flush=True)
-                    log(proc.stderr[-2000:])
-                    return
-        log(f"[bench] pallas child failed rc={proc.returncode}; "
-            f"stderr tail: {proc.stderr[-500:]}")
-    except subprocess.TimeoutExpired:
-        log("[bench] pallas child timed out; falling back to XLA path")
+    pallas = _run_child("pallas", args.pallas_timeout,
+                        size=args.size, iters=args.iters,
+                        platform=args.platform)
+    emitter.update(pallas)
+    if pallas is not None and pallas.get("complete"):
+        emitter.emit()
+        return
 
-    res = bench_tpu(use_pallas=False)
-    print(_result_json(res, bench_cpu_oracle(), "xla"), flush=True)
+    # Pallas incomplete: its headline (if measured) is still the best
+    # number, but try the XLA child for a complete record; keep whichever
+    # line carries a headline value, preferring the faster one.
+    xla = _run_child("xla", args.xla_timeout,
+                     size=args.size, iters=args.iters,
+                     platform=args.platform)
+    if xla is not None:
+        if pallas is None or xla.get("value", 0) >= pallas.get("value", 0):
+            emitter.update(xla)
+    if emitter.line is not None:
+        emitter.emit()
+        return
+
+    # Both children produced nothing: in-process XLA, reporting into the
+    # emitter so a mid-run SIGTERM still yields the completed metrics.
+    log("[bench] both children empty; in-process XLA")
+    def report(res, complete):
+        emitter.update(json.loads(
+            _result_json(res, "xla", complete, size=args.size)))
+    bench_tpu(size=args.size, iters=args.iters,
+              use_pallas=False, report=report)
+    emitter.emit()
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ online-softmax aggregation in VMEM:
             denominator both carry exp(-m)), so dL/dm == 0 analytically.
 
 Differentiation boundary: the custom_vjp wraps tables, not pytrees — the
-(T, 48) triangle constants, (1, 16) camera globals and (L, 8) light table
+(T, 32) triangle constants, (1, 16) camera globals and (L, 8) light table
 are built in jnp from Scene/Camera/Lights, so autodiff chains end-to-end
 (vertex positions, camera pose, light parameters all receive gradients).
 
@@ -138,7 +138,7 @@ def lights_table(lights) -> jax.Array:
 def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
     """Per-(triangle, pixel) logit and shaded color for one chunk.
 
-    cs: (C, 48) constants; gl: (1, 16) globals; lt: (L, 8) lights;
+    cs: (C, 32) constants; gl: (1, 16) globals; lt: (L, 8) lights;
     px, py: (1, P). Returns logit, sh0, sh1, sh2 — each (C, P).
 
     Pure jnp on 2D values: runs identically inside the Pallas kernel
@@ -363,7 +363,7 @@ def _interpret() -> bool:
 def _soft_agg(consts, glob, lights_tab, coords,
               es, zs, ambient, capacity, tile_p, chunk):
     """img (3, Rp) = soft-z aggregation. coords: (2, Rp) pixel x, y;
-    consts (Tp, 48) with Tp % chunk == 0, Rp % tile_p == 0."""
+    consts (Tp, 32) with Tp % chunk == 0, Rp % tile_p == 0."""
     img, _, _ = _soft_agg_fwd_impl(
         consts, glob, lights_tab, coords, es, zs, ambient, capacity,
         tile_p, chunk,
@@ -490,7 +490,10 @@ def rasterize_soft_pallas(scene, camera, lights, cfg,
 
     T = consts.shape[0]
     chunk = min(chunk, max(T, 8))
-    padt = (-T) % chunk
+    # T == 0 must still launch one (all-invalid) chunk: a zero-length grid
+    # dimension never writes the output buffers, returning garbage where
+    # the jnp path correctly returns the background hypothesis.
+    padt = chunk if T == 0 else (-T) % chunk
     if padt:
         consts = jnp.concatenate(
             [consts, jnp.zeros((padt, _CONST_COLS), jnp.float32)], axis=0

@@ -733,7 +733,9 @@ def raytrace_soft_pallas(scene, camera, lights, cfg,
 
     T = scene.num_triangles
     chunk = min(chunk, max(T, 8))
-    padt = (-T) % chunk
+    # T == 0 still launches one all-invalid chunk (see soft_raster_pallas:
+    # a zero-length grid dim never writes the outputs).
+    padt = chunk if T == 0 else (-T) % chunk
 
     pri = primary_tri_constants(scene, camera.pos)
     shw = shadow_tri_constants(scene)

@@ -97,8 +97,16 @@ def init_distributed(
         raw = env.get("RAYTPU_PROCESS_ID")
         process_id = int(raw) if raw else None
 
-    explicit = coordinator_address or num_processes is not None
     auto = any(m in env for m in _AUTODETECT_MARKERS)
+    # A bare coordinator address alongside auto-detect markers (e.g. a
+    # SLURM/OMPI launcher exporting JAX_COORDINATOR_ADDRESS) is NOT an
+    # explicit raytpu config: forcing num_processes=1 there would override
+    # JAX's cluster plugins and mis-initialize the job. Only a process
+    # count (or a coordinator address with no cluster markers) counts as
+    # explicit.
+    explicit = num_processes is not None or (
+        coordinator_address is not None and not auto
+    )
 
     if not explicit and not auto:
         # Plain single-process run (this dev image, unit tests, CI):
@@ -110,9 +118,23 @@ def init_distributed(
     if explicit:
         if num_processes is None:
             num_processes = 1
+        if num_processes > 1 and process_id is None:
+            # Defaulting process_id=0 here would make every process race
+            # to be coordinator and hang the job — fail fast instead.
+            raise ValueError(
+                "init_distributed: num_processes="
+                f"{num_processes} > 1 but process_id is unresolved — set "
+                "RAYTPU_PROCESS_ID or pass process_id explicitly"
+            )
         if process_id is None:
             process_id = 0
         if coordinator_address is None:
+            if num_processes > 1:
+                # Each process would invent its own port and never meet.
+                raise ValueError(
+                    "init_distributed: num_processes > 1 requires a "
+                    "shared coordinator_address (RAYTPU_COORDINATOR)"
+                )
             # Degenerate 1-process job: host the coordinator locally on a
             # free port — the full service bring-up, no cluster needed.
             coordinator_address = f"127.0.0.1:{_free_local_port()}"

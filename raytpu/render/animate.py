@@ -189,6 +189,8 @@ def animate(scene: Scene, camera: Camera, lights: Lights,
         raise ValueError(f"unknown renderer {renderer!r}")
 
     keys = list(keys)
+    if not keys:
+        raise ValueError("animate() needs at least one key event")
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
@@ -201,15 +203,25 @@ def animate(scene: Scene, camera: Camera, lights: Lights,
     # pipeline); host transfer + BMP writes happen after the clock stops,
     # so fps measures render throughput — the realtime-loop analog.
     paths = []
-    kept = []
+    kept = []      # (frame index, host ndarray)
+    pending = []   # (frame index, device array) — bounded, see below
     t0 = time.time()
     for i, key in enumerate(keys):
         camera, lights = step(camera, lights, key)
         img = render(scene, camera, lights)
         if out_dir and i % save_every == 0:
-            kept.append((i, img))
+            pending.append((i, img))
+            # Bound on-device retention: a long 500x500 script with
+            # save_every=1 would otherwise hold every frame in HBM until
+            # the loop ends. Draining in batches keeps the pipelining win
+            # for short scripts and a constant memory footprint for long
+            # ones (the transfer is timed, as presentation would be).
+            if len(pending) >= 64:
+                kept.extend((j, np.asarray(a)) for j, a in pending)
+                pending.clear()
     jax.block_until_ready(img)
     wall = time.time() - t0
+    kept.extend((j, np.asarray(a)) for j, a in pending)
     for i, arr in kept:
         path = os.path.join(out_dir, f"frame_{i:04d}.bmp")
         write_bmp(path, np.asarray(arr))

@@ -66,8 +66,10 @@ def _ray_tri_tuv(dirs: jax.Array, v0, v1, v2, start: jax.Array):
 def _chunked_scene(scene: Scene, chunk: int):
     """Pad + reshape scene arrays to (n_chunks, chunk, ...) for lax.scan."""
     T = scene.num_triangles
-    chunk = min(T, max(chunk, 1))
-    padn = (-T) % chunk
+    chunk = min(max(T, 1), max(chunk, 1))
+    # T == 0: run one all-inactive chunk so the scan still produces the
+    # background hypothesis (chunk=0 would divide by zero here).
+    padn = chunk if T == 0 else (-T) % chunk
     arrays = dict(v0=scene.v0, v1=scene.v1, v2=scene.v2,
                   color=scene.color, active=scene.active,
                   normal=scene.normals())
@@ -404,8 +406,8 @@ def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
     normals = scene.normals()
 
     T = scene.num_triangles
-    chunk = min(T, max(cfg.raster_tri_chunk, 1))
-    padn = (-T) % chunk
+    chunk = min(max(T, 1), max(cfg.raster_tri_chunk, 1))
+    padn = chunk if T == 0 else (-T) % chunk  # see _chunked_scene
     if padn:
         def padt(a):
             return jnp.concatenate(

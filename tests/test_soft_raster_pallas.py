@@ -92,3 +92,22 @@ def test_hard_limit_matches_exact(setup):
     d = np.abs(np.asarray(soft) - np.asarray(hard)).max(axis=-1)
     assert np.median(d) < 1e-3
     assert d.mean() < 0.02
+
+
+def test_zero_triangles_returns_background():
+    """T == 0 must still launch one all-invalid chunk (ADVICE r2): a
+    zero-length grid dimension never writes the outputs, returning
+    garbage where the jnp path returns the background hypothesis."""
+    from raytpu.core.types import Scene
+
+    empty = jnp.zeros((0, 3), jnp.float32)
+    scene = Scene(v0=empty, v1=empty, v2=empty, color=empty,
+                  active=jnp.zeros((0,), jnp.float32))
+    camera = Camera.rasterizer_default()
+    lights = Lights.single(capacity=2)
+    ref = rasterize_soft(scene, camera, lights, CFG)
+    out = rasterize_soft_pallas(scene, camera, lights, CFG,
+                                tile_p=256, chunk=8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)

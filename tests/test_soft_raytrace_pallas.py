@@ -83,3 +83,21 @@ def test_dispatch_from_raytrace_soft(setup):
                         CFG.replace(use_pallas=True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_zero_triangles_returns_background():
+    """T == 0 launches one all-invalid chunk (ADVICE r2) instead of a
+    zero-length grid that leaves the outputs unwritten."""
+    from raytpu.core.types import Scene
+
+    empty = jnp.zeros((0, 3), jnp.float32)
+    scene = Scene(v0=empty, v1=empty, v2=empty, color=empty,
+                  active=jnp.zeros((0,), jnp.float32))
+    camera = Camera.raytracer_default()
+    lights = Lights.single(capacity=2)
+    ref = raytrace_soft(scene, camera, lights, CFG)
+    out = raytrace_soft_pallas(scene, camera, lights, CFG,
+                               tile_p=256, chunk=8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
