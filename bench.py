@@ -83,12 +83,16 @@ def _chain_train(render_fn, params, iters):
     # Pipelined timing: dispatch all repeats asynchronously and block
     # once. Per-call block_until_ready would charge the ~20 ms remote
     # tunnel dispatch RTT to every call; in steady-state training those
-    # dispatches overlap device execution.
-    t0 = time.time()
-    for _ in range(3):
-        out = chained(params, os0)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / 3 / iters * 1e3
+    # dispatches overlap device execution. Best of two batches — the
+    # shared remote tunnel occasionally stalls a batch by ~40%.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(3):
+            out = chained(params, os0)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best / 3 / iters * 1e3
 
 
 def _chain_fwd(render_fn, params, iters):
@@ -114,11 +118,14 @@ def _chain_fwd(render_fn, params, iters):
     t0 = time.time()
     jax.block_until_ready(fwd_chain(scene))
     log(f"[bench] fwd chain compile: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for _ in range(3):
-        out = fwd_chain(scene)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / 3 / iters * 1e3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(3):
+            out = fwd_chain(scene)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best / 3 / iters * 1e3
 
 
 def _roof_pct(train_ms, size, tris=32):
