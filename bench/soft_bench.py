@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--renderer", choices=["raytrace", "rasterize", "both"],
                     default="both")
     ap.add_argument("--sharpness", type=float, default=40.0)
+    ap.add_argument("--scene", choices=["cornell", "stl"],
+                    default="cornell",
+                    help="stl = the reference enemy1.stl (9216 padded "
+                         "tris) — the VERDICT round-2 item 6 row")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,12 @@ def main():
     from raytpu.core.types import Camera, Lights, RenderConfig
     from raytpu.utils.profiling import FrameTimer
 
-    scene = cornell_box(pad_to=32)
+    if args.scene == "stl":
+        from raytpu.core.stl import load_reference_model
+
+        scene = load_reference_model(pad_to=9216)
+    else:
+        scene = cornell_box(pad_to=32)
     lights = Lights.single(capacity=1)
     size = args.size
 
@@ -73,6 +82,7 @@ def main():
             ("rasterize_soft", rasterize_soft, Camera.rasterizer_default())
         )
 
+    rows = {}
     for name, render, camera in renderers:
         cfg = RenderConfig(
             width=size, height=size, mode="soft",
@@ -142,6 +152,18 @@ def main():
         fwd_ms = timer2.times_s[-1] / 3 / args.iters * 1e3
         log(f"[{name}] fwd-only: {fwd_ms:.2f} ms/frame -> "
             f"{rays / (fwd_ms / 1e3) / 1e6:.1f} Mrays/s")
+        rows[name] = {
+            "scene": args.scene,
+            "tris": int(scene.num_triangles),
+            "size": size,
+            "fwd_ms": round(fwd_ms, 3),
+            "train_ms": round(step_ms, 3),
+            "train_mrays": round(rays / (step_ms / 1e3) / 1e6, 1),
+        }
+
+    import json
+
+    print(json.dumps(rows), flush=True)
 
 
 if __name__ == "__main__":

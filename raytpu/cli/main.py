@@ -203,8 +203,14 @@ def cmd_fit(args):
         steps=args.steps, renderer=args.renderer,
         checkpoint_dir=args.checkpoint_dir,
     )
+    mesh = None
+    if args.mesh:
+        from raytpu.parallel.mesh import make_mesh
+
+        data, model = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(data=data, model=model)
     result = fit(target, scene, camera, lights, cfg, fit_cfg,
-                 resume_from=args.resume)
+                 resume_from=args.resume, mesh=mesh)
     print(f"final loss: {result.losses[-1]:.6f}")
     if args.output:
         img = np.asarray(
@@ -273,6 +279,10 @@ def main(argv=None):
     p.add_argument("--init-intensity", type=float, default=10.0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                   help="shard the fit over a device mesh, e.g. 4x2 "
+                        "(rows over 'data', triangle hypotheses over "
+                        "'model')")
     p.set_defaults(func=cmd_fit)
 
     p = sub.add_parser(

@@ -295,7 +295,7 @@ def _fwd_kernel(px_ref, consts_ref, glob_ref, lights_ref,
         s_ref[:, :] = s_s[:, :]
 
 
-def _bwd_kernel(px_ref, m_ref, s_ref, img_ref, gcot_ref,
+def _bwd_kernel(px_ref, m_ref, cot_ref,
                 consts_ref, glob_ref, lights_ref,
                 dc_ref, dg_ref, dl_ref, *,
                 es, zs, ambient, capacity):
@@ -304,15 +304,13 @@ def _bwd_kernel(px_ref, m_ref, s_ref, img_ref, gcot_ref,
     px = px_ref[0:1, :]
     py = px_ref[1:2, :]
     m = m_ref[:, :]
-    srec = 1.0 / s_ref[:, :]
 
-    # img = acc / s  =>  d acc_j = g_j / s;  d s = -(g . img) / s.
-    da = [gcot_ref[j:j + 1, :] * srec for j in range(3)]
-    ds = -(
-        gcot_ref[0:1, :] * img_ref[0:1, :]
-        + gcot_ref[1:2, :] * img_ref[1:2, :]
-        + gcot_ref[2:3, :] * img_ref[2:3, :]
-    ) * srec
+    # Cotangent rows [d s, d acc_0..2] are precombined OUTSIDE the kernel
+    # (tiny (4, R) elementwise jnp) — keeps the kernel agnostic to
+    # whether the caller differentiates img alone (_soft_agg) or
+    # (img, m, s) (_soft_agg_stats, sharded-combine path).
+    ds = cot_ref[0:1, :]
+    da = [cot_ref[j + 1:j + 2, :] for j in range(3)]
 
     def f(cs, gl, lt):
         logit, sh0, sh1, sh2 = _chunk_terms(
@@ -372,7 +370,8 @@ def _soft_agg(consts, glob, lights_tab, coords,
 
 
 def _soft_agg_fwd_impl(consts, glob, lights_tab, coords,
-                       es, zs, ambient, capacity, tile_p, chunk):
+                       es, zs, ambient, capacity, tile_p, chunk,
+                       interpret=None):
     Rp = coords.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
@@ -408,7 +407,8 @@ def _soft_agg_fwd_impl(consts, glob, lights_tab, coords,
         ],
         scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)
                         for _ in range(5)],
-        interpret=_interpret(),
+        interpret=(_interpret() if interpret is None
+                   else interpret),
     )(coords, consts, glob, lights_tab)
     return img, m, s
 
@@ -422,8 +422,8 @@ def _soft_agg_fwd(consts, glob, lights_tab, coords,
     return img, (consts, glob, lights_tab, coords, img, m, s)
 
 
-def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
-    consts, glob, lights_tab, coords, img, m, s = res
+def _bwd_impl(consts, glob, lights_tab, coords, m, cot,
+              es, zs, ambient, capacity, tile_p, chunk, interpret=None):
     Rp = coords.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
@@ -439,11 +439,7 @@ def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_p), lambda c, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_p), lambda c, i: (0, i),
+            pl.BlockSpec((4, tile_p), lambda c, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
@@ -465,12 +461,71 @@ def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
             jax.ShapeDtypeStruct((1, 16), jnp.float32),
             jax.ShapeDtypeStruct((L, 8), jnp.float32),
         ],
-        interpret=_interpret(),
-    )(coords, m, s, img, gcot, consts, glob, lights_tab)
+        interpret=(_interpret() if interpret is None
+                   else interpret),
+    )(coords, m, cot, consts, glob, lights_tab)
+    return dc, dg, dl
+
+
+def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
+    consts, glob, lights_tab, coords, img, m, s = res
+    # img = acc / s  =>  d acc_j = g_j / s;  d s = -(g . img) / s.
+    srec = 1.0 / s
+    da = gcot * srec
+    ds = -jnp.sum(gcot * img, axis=0, keepdims=True) * srec
+    cot = jnp.concatenate([ds, da], axis=0)
+    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, m, cot,
+                           es, zs, ambient, capacity, tile_p, chunk)
     return dc, dg, dl, jnp.zeros_like(coords)
 
 
 _soft_agg.defvjp(_soft_agg_fwd, _soft_agg_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _soft_agg_stats(consts, glob, lights_tab, coords,
+                    es, zs, ambient, capacity, tile_p, chunk,
+                    interpret=None):
+    """Like _soft_agg but also returns the softmax residuals (m, s) so a
+    sharded caller can combine per-triangle-shard partial aggregations
+    (parallel/render.py::soft-mode blocks): true sum S_i = s_i * exp(m_i),
+    numerator A_ij = img_ij * S_i. The backward treats the m cotangent as
+    ZERO — exact, PROVIDED downstream uses (m, s) only through
+    s * exp(m - stop_grad(M)) terms: the kernel's ds (computed with m
+    held constant) then carries exactly the terms the discarded m-path
+    would have contributed (they cancel analytically, module docstring)."""
+    return _soft_agg_fwd_impl(
+        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        tile_p, chunk, interpret=interpret,
+    )
+
+
+def _soft_agg_stats_fwd(consts, glob, lights_tab, coords,
+                        es, zs, ambient, capacity, tile_p, chunk,
+                        interpret=None):
+    img, m, s = _soft_agg_fwd_impl(
+        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        tile_p, chunk, interpret=interpret,
+    )
+    return (img, m, s), (consts, glob, lights_tab, coords, img, m, s)
+
+
+def _soft_agg_stats_bwd(es, zs, ambient, capacity, tile_p, chunk,
+                        interpret, res, gcots):
+    consts, glob, lights_tab, coords, img, m, s = res
+    g_img, _g_m, g_s = gcots  # g_m discarded (see _soft_agg_stats)
+    srec = 1.0 / s
+    da = g_img * srec
+    ds = -jnp.sum(g_img * img, axis=0, keepdims=True) * srec + g_s
+    cot = jnp.concatenate([ds, da], axis=0)
+    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, m, cot,
+                           es, zs, ambient, capacity, tile_p, chunk,
+                           interpret=interpret)
+    return dc, dg, dl, jnp.zeros_like(coords)
+
+
+_soft_agg_stats.defvjp(_soft_agg_stats_fwd, _soft_agg_stats_bwd)
 
 
 def rasterize_soft_pallas(scene, camera, lights, cfg,

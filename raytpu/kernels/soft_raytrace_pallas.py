@@ -25,17 +25,23 @@ v5e chip. Two fused kernels keep the aggregation in VMEM:
 
 Backward passes recompute chunk terms and apply jax.vjp in-kernel (the
 softmax shift m is a residual with dL/dm == 0 analytically — it cancels
-between numerator and denominator). Because per-TRIANGLE grads must
-accumulate consecutively over ray tiles while per-RAY grads accumulate
-over triangle chunks, each backward splits into launches with transposed
-grids (Pallas TPU accumulates output blocks only across consecutive grid
-steps):
+between numerator and denominator). Per-TRIANGLE grads must accumulate
+consecutively over ray tiles while per-RAY grads accumulate over triangle
+chunks (Pallas TPU accumulates output blocks only across consecutive grid
+steps) — resolved by keeping the full d-consts table VMEM-RESIDENT (its
+output block index is pinned to (0, 0), so it is never flushed mid-grid;
+each step accumulates its chunk's rows at a chunk-aligned dynamic sublane
+offset). That makes the backward a SINGLE launch whose one jax.vjp yields
+every input cotangent from one recompute:
 
-  primary:  bwd1 (chunk-major) -> d consts, d globals, d lights
-            bwd2 (tile-major)  -> d ray dirs
-  shadow:   bwd1 (chunk-major) -> d consts
-            bwd2 (source-major)-> d source positions, d world (partial
-                                  per source; summed outside)
+  primary:  grid (tile, chunk) -> d consts (resident), d globals,
+            d lights, d ray dirs (per-tile block)
+  shadow:   grid (source, tile, chunk) -> d consts (resident), d source
+            positions, d world (partial per source; summed outside)
+
+Scenes whose d-consts table would crowd VMEM (> _FUSED_BWD_MAX_ROWS
+16-col-equivalent rows, ~4 MB) fall back to the original two-launch
+transposed-grid backward kept below (tables/chunk-major + rays/tile-major).
 
 Differentiation boundary: tables built in jnp from Scene/Camera/Lights,
 so autodiff chains end-to-end exactly as in soft_raster_pallas.
@@ -54,6 +60,12 @@ from jax.experimental.pallas import tpu as pltpu
 _PRI_COLS = 32
 _SHW_COLS = 16
 _BIG = 3.4028235e38
+
+# Above this many 16-column triangle rows (scaled for wider tables) the
+# whole-resident dc output of the fused single-launch backward would
+# crowd VMEM (16 MB/core, minus streamed blocks and double buffering);
+# fall back to the two-launch backward there.
+_FUSED_BWD_MAX_ROWS = 65536
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +241,71 @@ def _pri_fwd_kernel(dirs_ref, consts_ref, glob_ref, lights_ref,
         s_ref[:, :] = s_s[:, :]
 
 
-def _pri_bwd_tables_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
+def _pri_bwd_fused_kernel(dirs_ref, m_ref, cot_ref,
+                          consts_ref, glob_ref, lights_ref,
+                          dc_ref, dg_ref, dl_ref, dd_ref, *,
+                          es, zs, ambient, capacity, t_far, chunk):
+    """Single-launch primary backward: one recompute + one jax.vjp per
+    (tile, chunk) step yields ALL input cotangents — the two-launch split
+    (tables then dirs) recomputed the chunk terms twice. Grid
+    (n_tiles, n_chunks), chunk fastest:
+
+      dc       (Tp, 32) whole-array VMEM-resident output (block index
+               fixed at (0, 0)); per-step accumulate at a dynamic
+               chunk-aligned sublane offset.
+      dg, dl   whole-grid accumulated residents.
+      dd       (3, tile_p) block per tile, accumulated over consecutive
+               chunk steps.
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    m = m_ref[:, :]
+    # Cotangent rows [d s, d acc_0..8] precombined OUTSIDE the kernel
+    # (see soft_raster_pallas._bwd_kernel's note) — supports both
+    # _primary_agg and the stats variant with one kernel.
+    ds = cot_ref[0:1, :]
+    da = [cot_ref[j + 1:j + 2, :] for j in range(9)]
+
+    def f(cs, gl, lt, dx, dy, dz):
+        logit, vals = _primary_terms(
+            cs, gl, lt, dx, dy, dz,
+            es=es, zs=zs, ambient=ambient, capacity=capacity, t_far=t_far,
+        )
+        w = jnp.exp(logit - m)
+        outs = [jnp.sum(w, axis=0, keepdims=True)]
+        outs += [jnp.sum(w * vals[j], axis=0, keepdims=True)
+                 for j in range(9)]
+        return tuple(outs)
+
+    _, vjp_fn = jax.vjp(
+        f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :],
+        dirs_ref[0:1, :], dirs_ref[1:2, :], dirs_ref[2:3, :],
+    )
+    dcs, dgl, dlt, ddx, ddy, ddz = vjp_fn(tuple([ds] + da))
+
+    first = (i == 0) & (c == 0)
+
+    @pl.when(first)
+    def _():
+        dc_ref[:, :] = jnp.zeros_like(dc_ref[:, :])
+        dg_ref[:, :] = jnp.zeros_like(dg_ref[:, :])
+        dl_ref[:, :] = jnp.zeros_like(dl_ref[:, :])
+
+    rows = pl.ds(c * chunk, chunk)
+    dc_ref[rows, :] = dc_ref[rows, :] + dcs
+    dg_ref[:, :] = dg_ref[:, :] + dgl
+    dl_ref[:, :] = dl_ref[:, :] + dlt
+
+    @pl.when(c == 0)
+    def _():
+        dd_ref[:, :] = jnp.zeros_like(dd_ref[:, :])
+
+    dd_ref[0:1, :] = dd_ref[0:1, :] + ddx
+    dd_ref[1:2, :] = dd_ref[1:2, :] + ddy
+    dd_ref[2:3, :] = dd_ref[2:3, :] + ddz
+
+
+def _pri_bwd_tables_kernel(dirs_ref, m_ref, cot_ref,
                            consts_ref, glob_ref, lights_ref,
                            dc_ref, dg_ref, dl_ref, *,
                            es, zs, ambient, capacity, t_far):
@@ -239,13 +315,8 @@ def _pri_bwd_tables_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
     dy = dirs_ref[1:2, :]
     dz = dirs_ref[2:3, :]
     m = m_ref[:, :]
-    srec = 1.0 / s_ref[:, :]
-    ds = jnp.zeros_like(srec)
-    da = []
-    for j in range(9):
-        gj = gcot_ref[j:j + 1, :]
-        da.append(gj * srec)
-        ds = ds - gj * out_ref[j:j + 1, :] * srec
+    ds = cot_ref[0:1, :]
+    da = [cot_ref[j + 1:j + 2, :] for j in range(9)]
 
     def f(cs, gl, lt):
         logit, vals = _primary_terms(
@@ -284,20 +355,15 @@ def _pri_bwd_tables_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
         dl_ref[:, :] = dl_ref[:, :] + dlt
 
 
-def _pri_bwd_dirs_kernel(dirs_ref, m_ref, s_ref, out_ref, gcot_ref,
+def _pri_bwd_dirs_kernel(dirs_ref, m_ref, cot_ref,
                          consts_ref, glob_ref, lights_ref,
                          dd_ref, dd_s, *,
                          es, zs, ambient, capacity, t_far):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     m = m_ref[:, :]
-    srec = 1.0 / s_ref[:, :]
-    ds = jnp.zeros_like(srec)
-    da = []
-    for j in range(9):
-        gj = gcot_ref[j:j + 1, :]
-        da.append(gj * srec)
-        ds = ds - gj * out_ref[j:j + 1, :] * srec
+    ds = cot_ref[0:1, :]
+    da = [cot_ref[j + 1:j + 2, :] for j in range(9)]
 
     cs = consts_ref[:, :]
     gl = glob_ref[:, :]
@@ -345,7 +411,7 @@ def _primary_agg(consts, glob, lights_tab, dirs,
 
 
 def _primary_fwd_impl(consts, glob, lights_tab, dirs, es, zs, ambient,
-                      capacity, t_far, tile_p, chunk):
+                      capacity, t_far, tile_p, chunk, interpret=None):
     Rp = dirs.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
@@ -382,7 +448,8 @@ def _primary_fwd_impl(consts, glob, lights_tab, dirs, es, zs, ambient,
         ],
         scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)
                         for _ in range(11)],
-        interpret=_interpret(),
+        interpret=(_interpret() if interpret is None
+                   else interpret),
     )(dirs, consts, glob, lights_tab)
     return out, m, s
 
@@ -396,13 +463,54 @@ def _primary_fwd(consts, glob, lights_tab, dirs,
     return out, (consts, glob, lights_tab, dirs, out, m, s)
 
 
-def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
-                 res, gcot):
-    consts, glob, lights_tab, dirs, out, m, s = res
+def _pri_bwd_impl(consts, glob, lights_tab, dirs, m, cot,
+                  es, zs, ambient, capacity, t_far, tile_p, chunk,
+                  interpret=None):
+    """Dispatch the primary backward from precombined cotangent rows
+    cot (10, Rp) = [d s, d acc_0..8]."""
     Rp = dirs.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
     L = lights_tab.shape[0]
+
+    if Tp * _PRI_COLS <= _FUSED_BWD_MAX_ROWS * 16:
+        tspec = lambda nrows: pl.BlockSpec(  # noqa: E731
+            (nrows, tile_p), lambda i, c: (0, i), memory_space=pltpu.VMEM)
+        dc, dg, dl, dd = pl.pallas_call(
+            functools.partial(_pri_bwd_fused_kernel, es=es, zs=zs,
+                              ambient=ambient, capacity=capacity,
+                              t_far=t_far, chunk=chunk),
+            grid=(Rp // tile_p, n_chunks),
+            in_specs=[
+                tspec(3), tspec(1), tspec(10),
+                pl.BlockSpec((chunk, _PRI_COLS), lambda i, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Tp, _PRI_COLS), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Tp, _PRI_COLS), jnp.float32),
+                jax.ShapeDtypeStruct((1, 16), jnp.float32),
+                jax.ShapeDtypeStruct((L, 8), jnp.float32),
+                jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+            ],
+            interpret=(_interpret() if interpret is None
+                       else interpret),
+        )(dirs, m, cot, consts, glob, lights_tab)
+        return dc, dg, dl, dd
+
     tile_spec = lambda nrows: pl.BlockSpec(  # noqa: E731
         (nrows, tile_p), lambda c, i: (0, i), memory_space=pltpu.VMEM)
     dc, dg, dl = pl.pallas_call(
@@ -410,8 +518,7 @@ def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
                           ambient=ambient, capacity=capacity, t_far=t_far),
         grid=(n_chunks, Rp // tile_p),
         in_specs=[
-            tile_spec(3), tile_spec(1), tile_spec(1), tile_spec(9),
-            tile_spec(9),
+            tile_spec(3), tile_spec(1), tile_spec(10),
             pl.BlockSpec((chunk, _PRI_COLS), lambda c, i: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda c, i: (0, 0),
@@ -432,8 +539,9 @@ def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
             jax.ShapeDtypeStruct((1, 16), jnp.float32),
             jax.ShapeDtypeStruct((L, 8), jnp.float32),
         ],
-        interpret=_interpret(),
-    )(dirs, m, s, out, gcot, consts, glob, lights_tab)
+        interpret=(_interpret() if interpret is None
+                   else interpret),
+    )(dirs, m, cot, consts, glob, lights_tab)
 
     tile_spec2 = lambda nrows: pl.BlockSpec(  # noqa: E731
         (nrows, tile_p), lambda i, c: (0, i), memory_space=pltpu.VMEM)
@@ -442,8 +550,7 @@ def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
                           ambient=ambient, capacity=capacity, t_far=t_far),
         grid=(Rp // tile_p, n_chunks),
         in_specs=[
-            tile_spec2(3), tile_spec2(1), tile_spec2(1), tile_spec2(9),
-            tile_spec2(9),
+            tile_spec2(3), tile_spec2(1), tile_spec2(10),
             pl.BlockSpec((chunk, _PRI_COLS), lambda i, c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda i, c: (0, 0),
@@ -455,12 +562,73 @@ def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Rp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, tile_p), jnp.float32)],
-        interpret=_interpret(),
-    )(dirs, m, s, out, gcot, consts, glob, lights_tab)
+        interpret=(_interpret() if interpret is None
+                   else interpret),
+    )(dirs, m, cot, consts, glob, lights_tab)
     return dc, dg, dl, dd
 
 
+def _primary_cot(gcot, out, s, g_s=None):
+    """Precombine [d s, d acc_0..8] from the out cotangent (and optional
+    s cotangent): out = acc / s => d acc_j = g_j / s,
+    d s = -(g . out) / s (+ g_s)."""
+    srec = 1.0 / s
+    da = gcot * srec
+    ds = -jnp.sum(gcot * out, axis=0, keepdims=True) * srec
+    if g_s is not None:
+        ds = ds + g_s
+    return jnp.concatenate([ds, da], axis=0)
+
+
+def _primary_bwd(es, zs, ambient, capacity, t_far, tile_p, chunk,
+                 res, gcot):
+    consts, glob, lights_tab, dirs, out, m, s = res
+    cot = _primary_cot(gcot, out, s)
+    return _pri_bwd_impl(consts, glob, lights_tab, dirs, m, cot,
+                         es, zs, ambient, capacity, t_far, tile_p, chunk)
+
+
 _primary_agg.defvjp(_primary_fwd, _primary_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _primary_agg_stats(consts, glob, lights_tab, dirs,
+                       es, zs, ambient, capacity, t_far, tile_p,
+                       chunk, interpret=None):
+    """Like _primary_agg but also returns the softmax residuals (m, s)
+    so a sharded caller can combine per-triangle-shard partials
+    (true sum S_i = s_i * exp(m_i), numerator A_ij = out_ij * S_i).
+    The m cotangent is treated as ZERO in the backward — exact PROVIDED
+    downstream uses (m, s) only through s * exp(m - stop_grad(M)) terms
+    (see soft_raster_pallas._soft_agg_stats)."""
+    return _primary_fwd_impl(
+        consts, glob, lights_tab, dirs, es, zs, ambient, capacity, t_far,
+        tile_p, chunk, interpret=interpret,
+    )
+
+
+def _primary_stats_fwd(consts, glob, lights_tab, dirs,
+                       es, zs, ambient, capacity, t_far, tile_p,
+                       chunk, interpret=None):
+    out, m, s = _primary_fwd_impl(
+        consts, glob, lights_tab, dirs, es, zs, ambient, capacity, t_far,
+        tile_p, chunk, interpret=interpret,
+    )
+    return (out, m, s), (consts, glob, lights_tab, dirs, out, m, s)
+
+
+def _primary_stats_bwd(es, zs, ambient, capacity, t_far, tile_p,
+                       chunk, interpret, res, gcots):
+    consts, glob, lights_tab, dirs, out, m, s = res
+    g_out, _g_m, g_s = gcots  # g_m discarded (see _primary_agg_stats)
+    cot = _primary_cot(g_out, out, s, g_s=g_s)
+    return _pri_bwd_impl(consts, glob, lights_tab, dirs, m, cot,
+                         es, zs, ambient, capacity, t_far, tile_p,
+                         chunk, interpret=interpret)
+
+
+_primary_agg_stats.defvjp(_primary_stats_fwd, _primary_stats_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -537,6 +705,62 @@ def _shw_fwd_kernel(world_ref, src_ref, consts_ref, trans_ref, log_s, *,
         trans_ref[:, :] = jnp.exp(log_s[:, :])
 
 
+def _shw_bwd_fused_kernel(world_ref, src_ref, trans_ref, gcot_ref,
+                          consts_ref, dc_ref, dsrc_ref, dw_ref, *,
+                          es, zs, chunk):
+    """Single-launch shadow backward: one recompute + one jax.vjp per
+    (source, tile, chunk) step yields ALL input cotangents (the two-launch
+    split recomputed the chunk terms twice). Grid (S, n_tiles, n_chunks),
+    chunk fastest:
+
+      dc    (Tp, 16) whole-array VMEM-resident output (block index fixed
+            at (0, 0) so it is never flushed mid-grid); each step
+            accumulates its chunk's rows at a dynamic sublane offset
+            (chunk-aligned, so 8-sublane alignment holds).
+      dsrc  (1, 8) block per source, accumulated over (tile, chunk).
+      dw    (3, tile_p) block per (source, tile), accumulated over the
+            consecutive chunk steps, summed over sources OUTSIDE (same
+            (S*3, Rp) partial layout as the two-launch version).
+    """
+    s_ = pl.program_id(0)
+    t = pl.program_id(1)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    dlog = gcot_ref[:, :] * trans_ref[:, :]
+
+    def f(cs, sr, wx, wy, wz):
+        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+
+    _, vjp_fn = jax.vjp(
+        f, consts_ref[:, :], src_ref[:, :],
+        world_ref[0:1, :], world_ref[1:2, :], world_ref[2:3, :],
+    )
+    dcs, dsr, dwx, dwy, dwz = vjp_fn(dlog)
+
+    first = (s_ == 0) & (t == 0) & (c == 0)
+
+    @pl.when(first)
+    def _():
+        dc_ref[:, :] = jnp.zeros_like(dc_ref[:, :])
+
+    rows = pl.ds(c * chunk, chunk)
+    dc_ref[rows, :] = dc_ref[rows, :] + dcs
+
+    @pl.when((t == 0) & (c == 0))
+    def _():
+        dsrc_ref[:, :] = jnp.zeros_like(dsrc_ref[:, :])
+
+    dsrc_ref[:, :] = dsrc_ref[:, :] + dsr
+
+    @pl.when(c == 0)
+    def _():
+        dw_ref[:, :] = jnp.zeros_like(dw_ref[:, :])
+
+    dw_ref[0:1, :] = dw_ref[0:1, :] + dwx
+    dw_ref[1:2, :] = dw_ref[1:2, :] + dwy
+    dw_ref[2:3, :] = dw_ref[2:3, :] + dwz
+
+
 def _shw_bwd_consts_kernel(world_ref, src_ref, trans_ref, gcot_ref,
                            consts_ref, dc_ref, *, es, zs):
     c = pl.program_id(0)
@@ -607,14 +831,17 @@ def _shw_bwd_rays_kernel(world_ref, src_ref, trans_ref, gcot_ref,
         dw_ref[:, :] = dw_s[:, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _shadow_trans(consts, srcs, world, es, zs, tile_p, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _shadow_trans(consts, srcs, world, es, zs, tile_p, chunk,
+                  interpret=None):
     """(S, Rp) smooth transmittance from each source to each world point.
     srcs: (S, 8) rows [position xyz, pad]; world: (3, Rp)."""
-    return _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk)
+    return _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p,
+                            chunk, interpret=interpret)
 
 
-def _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk):
+def _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk,
+                     interpret=None):
     Rp = world.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
@@ -634,23 +861,62 @@ def _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, Rp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)],
-        interpret=_interpret(),
+        interpret=(_interpret() if interpret is None
+                   else interpret),
     )(world, srcs, consts)
     return trans
 
 
-def _shadow_fwd(consts, srcs, world, es, zs, tile_p, chunk):
-    trans = _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p, chunk)
+def _shadow_fwd(consts, srcs, world, es, zs, tile_p, chunk,
+                interpret=None):
+    trans = _shadow_fwd_impl(consts, srcs, world, es, zs, tile_p,
+                             chunk, interpret=interpret)
     return trans, (consts, srcs, world, trans)
 
 
-def _shadow_bwd(es, zs, tile_p, chunk, res, gcot):
+def _shadow_bwd(es, zs, tile_p, chunk, interpret, res, gcot):
     consts, srcs, world, trans = res
     Rp = world.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
     S = srcs.shape[0]
     n_tiles = Rp // tile_p
+
+    if Tp <= _FUSED_BWD_MAX_ROWS:
+        dc, dsrc, dw_part = pl.pallas_call(
+            functools.partial(_shw_bwd_fused_kernel, es=es, zs=zs,
+                              chunk=chunk),
+            grid=(S, n_tiles, n_chunks),
+            in_specs=[
+                pl.BlockSpec((3, tile_p), lambda s, i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda s, i, c: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p), lambda s, i, c: (s, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p), lambda s, i, c: (s, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, _SHW_COLS), lambda s, i, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Tp, _SHW_COLS), lambda s, i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda s, i, c: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile_p), lambda s, i, c: (s, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Tp, _SHW_COLS), jnp.float32),
+                jax.ShapeDtypeStruct((S, 8), jnp.float32),
+                jax.ShapeDtypeStruct((S * 3, Rp), jnp.float32),
+            ],
+            interpret=(_interpret() if interpret is None
+                       else interpret),
+        )(world, srcs, trans, gcot, consts)
+        dw = jnp.sum(dw_part.reshape(S, 3, Rp), axis=0)
+        return dc, dsrc, dw
 
     dc = pl.pallas_call(
         functools.partial(_shw_bwd_consts_kernel, es=es, zs=zs),
@@ -670,7 +936,8 @@ def _shadow_bwd(es, zs, tile_p, chunk, res, gcot):
         out_specs=pl.BlockSpec((chunk, _SHW_COLS), lambda c, s, i: (c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, _SHW_COLS), jnp.float32),
-        interpret=_interpret(),
+        interpret=(_interpret() if interpret is None
+                   else interpret),
     )(world, srcs, trans, gcot, consts)
 
     dsrc, dw_part = pl.pallas_call(
@@ -704,7 +971,8 @@ def _shadow_bwd(es, zs, tile_p, chunk, res, gcot):
             pltpu.VMEM((3, tile_p), jnp.float32),
             pltpu.VMEM((1, 8), jnp.float32),
         ],
-        interpret=_interpret(),
+        interpret=(_interpret() if interpret is None
+                   else interpret),
     )(world, srcs, trans, gcot, consts)
     dw = jnp.sum(dw_part.reshape(S, 3, Rp), axis=0)
     return dc, dsrc, dw

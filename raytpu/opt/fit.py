@@ -123,10 +123,20 @@ def _render_fn(renderer: str) -> Callable:
 
 def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
         render_cfg: RenderConfig, fit_cfg: FitConfig,
-        resume_from: str | None = None) -> FitResult:
-    """Run the inverse-rendering fit. target: (H, W, 3) float array."""
+        resume_from: str | None = None, mesh=None) -> FitResult:
+    """Run the inverse-rendering fit. target: (H, W, 3) float array.
+
+    mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the fit
+    then trains through the SHARDED soft renderer (rows over 'data',
+    triangle hypotheses over 'model'; parallel/render.py soft blocks,
+    BASELINE configs 4/5 combined).
+    """
     target = jnp.asarray(target, jnp.float32)
     render = _render_fn(fit_cfg.renderer)
+    if mesh is not None:
+        from raytpu.parallel.mesh import row_sharding
+
+        target = jax.device_put(target, row_sharding(mesh))
     optimizer = _make_optimizer(fit_cfg)
 
     params = (scene0, lights0)
@@ -147,11 +157,20 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
         )
         n_steps = int(fit_cfg.steps * frac)
 
+        if mesh is not None:
+            from raytpu.parallel.render import make_sharded_soft_render
+
+            sharded = make_sharded_soft_render(mesh, cfg,
+                                               fit_cfg.renderer)
+            stage_render = lambda s, l, _c=None: sharded(s, camera, l)  # noqa: E731
+        else:
+            stage_render = lambda s, l, _c=cfg: render(s, camera, l, _c)  # noqa: E731
+
         @jax.jit
-        def train_step(params, opt_state, _cfg=cfg):
+        def train_step(params, opt_state, _render=stage_render):
             def loss_fn(p):
                 s, l = p
-                img = render(s, camera, l, _cfg)
+                img = _render(s, l)
                 if fit_cfg.loss == "chroma":
                     def chroma(x):
                         return x / (
@@ -187,7 +206,7 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                 )
             if (fit_cfg.image_dump_every
                     and step_counter % fit_cfg.image_dump_every == 0):
-                _dump_image(render(params[0], camera, params[1], cfg),
+                _dump_image(stage_render(params[0], params[1]),
                             fit_cfg, step_counter)
             if (fit_cfg.checkpoint_dir
                     and step_counter % fit_cfg.checkpoint_every == 0):

@@ -214,6 +214,201 @@ def render_block(scene: Scene, camera: Camera, lights: Lights,
     return accum / jnp.float32(len(offsets)), fd
 
 
+def _soft_combine(vals, m, s, bg_logit, axis_name):
+    """Combine per-model-shard online-softmax partials into globally
+    normalized values.
+
+    Each shard aggregated its OWN triangle block's hypotheses PLUS the
+    shared background hypothesis (value 0, logit `bg_logit`) into
+    (vals_i = acc_i / s_i, m_i, s_i) — so the true per-shard mass is
+    S_i = s_i * exp(m_i) and the combined denominator counts the
+    background nm times; subtract the nm - 1 duplicates. The global max
+    M is stop-gradded (any shift gives the same value AND gradient; the
+    stats kernels' s-cotangent carries the full logit dependence —
+    kernels/soft_raster_pallas._soft_agg_stats).
+    vals: (K, P); m, s: (1, P). Returns (K, P) normalized.
+    """
+    nm = jax.lax.axis_size(axis_name)
+    ms = jax.lax.all_gather(jax.lax.stop_gradient(m), axis_name)
+    M = jnp.max(ms, axis=0)  # (1, P)
+    w = s * jnp.exp(m - M)
+    num = jax.lax.psum(vals * w, axis_name)
+    den = jax.lax.psum(w, axis_name)
+    den = den - jnp.float32(nm - 1) * jnp.exp(jnp.float32(bg_logit) - M)
+    return num / den
+
+
+def _shard_pad_rows(table, axis_name, chunk, cols):
+    """This shard's contiguous row block of a replicated (T, cols) table,
+    zero-padded up to a chunk multiple (zero rows are inactive: their
+    valid column is 0)."""
+    mi = jax.lax.axis_index(axis_name)
+    nm = jax.lax.axis_size(axis_name)
+    T = table.shape[0]
+    if T % nm != 0:
+        raise ValueError(
+            f"triangle count {T} not divisible by model axis {nm}; "
+            "use Scene.pad_to"
+        )
+    tb = T // nm
+    block = jax.lax.dynamic_slice_in_dim(table, mi * tb, tb, axis=0)
+    padt = chunk if tb == 0 else (-tb) % chunk
+    if padt:
+        block = jnp.concatenate(
+            [block, jnp.zeros((padt, cols), jnp.float32)], axis=0)
+    return block
+
+
+def _pad_minor(arr, tile_p, fill):
+    padr = (-arr.shape[1]) % tile_p
+    if padr:
+        arr = jnp.concatenate(
+            [arr, jnp.full((arr.shape[0], padr), fill, jnp.float32)],
+            axis=1)
+    return arr
+
+
+def soft_raster_block(scene: Scene, camera: Camera, lights: Lights,
+                      cfg: RenderConfig, y0, rows: int,
+                      tile_p: int = 1024, chunk: int = 32,
+                      interpret: bool | None = None) -> jax.Array:
+    """Soft-rasterize a row block inside shard_map (data+model sharded).
+
+    The silhouette-gradient renderer (BASELINE config 4) on a mesh:
+    pixels shard over 'data' rows; triangles shard over 'model', each
+    shard running the fused stats kernel on its block and the global
+    soft-z softmax merging via _soft_combine (the smooth analog of
+    raster_block's hard max-zinv merge). Returns (rows * W, 3) with
+    end-to-end gradients (vertices, colors, camera, lights).
+    """
+    from raytpu.kernels.soft_raster_pallas import (
+        _CONST_COLS,
+        _soft_agg_stats,
+        camera_globals,
+        lights_table,
+        soft_tri_constants,
+    )
+    from raytpu.render.soft import _screen_vertices
+
+    sx, sy, zinv, pos3d = _screen_vertices(scene, camera, cfg)
+    consts_full = soft_tri_constants(
+        sx, sy, zinv, pos3d, scene.color, scene.normals(), scene.active
+    )
+    tb = scene.num_triangles // jax.lax.axis_size(MODEL_AXIS)
+    chunk = min(chunk, max(tb, 8))
+    consts = _shard_pad_rows(consts_full, MODEL_AXIS, chunk, _CONST_COLS)
+
+    xs, ys = _block_grid(cfg, y0, rows)
+    R = xs.shape[0]
+    coords = _pad_minor(jnp.stack([xs, ys], axis=0), tile_p, -1e9)
+
+    img, m, s = _soft_agg_stats(
+        consts, camera_globals(camera, cfg), lights_table(lights), coords,
+        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
+        float(cfg.ambient), lights.capacity, tile_p, chunk, interpret,
+    )
+    # Background logit 0 (`rasteriser.cpp:188` cleared-to-0 depth buffer).
+    out = _soft_combine(img, m, s, 0.0, MODEL_AXIS)
+    return out[:, :R].T
+
+
+def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
+                        cfg: RenderConfig, y0, rows: int,
+                        tile_p: int = 1024, chunk: int = 32,
+                        interpret: bool | None = None) -> jax.Array:
+    """Soft-raytrace a row block inside shard_map (data+model sharded).
+
+    Primary softmin-over-depth partials merge via _soft_combine; the
+    smooth shadow transmittance is a PRODUCT over triangles, so the
+    per-shard factors merge with an all_gather product over 'model'
+    (log-space inside the kernel, kernels/soft_raytrace_pallas).
+    Returns (rows * W, 3).
+    """
+    from raytpu.kernels import soft_raytrace_pallas as srt
+    from raytpu.kernels.soft_raster_pallas import lights_table
+    from raytpu.render.raytrace import camera_ray_dirs
+
+    es = float(cfg.soft_edge_sharpness)
+    zs = float(cfg.soft_z_sharpness)
+    t_far = 20.0
+
+    xs, ys = _block_grid(cfg, y0, rows)
+    dirs = camera_ray_dirs(xs, ys, camera, cfg)  # (R, 3)
+    R = dirs.shape[0]
+    dirs_t = _pad_minor(dirs.T, tile_p, 1e-6)
+
+    tb = scene.num_triangles // jax.lax.axis_size(MODEL_AXIS)
+    chunk = min(chunk, max(tb, 8))
+    pri = _shard_pad_rows(srt.primary_tri_constants(scene, camera.pos),
+                          MODEL_AXIS, chunk, srt._PRI_COLS)
+    shw = _shard_pad_rows(srt.shadow_tri_constants(scene),
+                          MODEL_AXIS, chunk, srt._SHW_COLS)
+
+    glob = jnp.concatenate(
+        [camera.pos, jnp.zeros((13,), jnp.float32)])[None, :]
+    lt = lights_table(lights)
+
+    out, m, s = srt._primary_agg_stats(
+        pri, glob, lt, dirs_t, es, zs, float(cfg.ambient),
+        lights.capacity, t_far, tile_p, chunk, interpret,
+    )
+    comb = _soft_combine(out, m, s, -zs * t_far, MODEL_AXIS)
+    img, amb, world = comb[0:3], comb[3:6], comb[6:9]
+
+    samples = max(cfg.soft_shadow_samples, 1)
+    if samples > 1:
+        src_pos = lights.jitter[:, :samples].reshape(-1, 3)
+    else:
+        src_pos = lights.position
+    S = src_pos.shape[0]
+    srcs = jnp.concatenate(
+        [src_pos, jnp.zeros((S, 5), jnp.float32)], axis=1)
+
+    trans_local = srt._shadow_trans(shw, srcs, world, es, zs,
+                                    tile_p, chunk, interpret)  # (S, Rp)
+    trans = jnp.prod(jax.lax.all_gather(trans_local, MODEL_AXIS), axis=0)
+
+    per_light = jnp.mean(trans.reshape(lights.capacity, samples, -1),
+                         axis=1)
+    denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
+    shadow = jnp.sum(lights.mask[:, None] * per_light, axis=0) / denom
+    final = (img - amb) * shadow[None, :] + amb
+    return final[:, :R].T
+
+
+def make_sharded_soft_render(mesh, cfg: RenderConfig,
+                             renderer: str = "rasterize"):
+    """jit-compiled sharded soft (differentiable) forward render:
+    (H, W, 3) sharded row-wise over 'data', triangle hypotheses sharded
+    over 'model' with softmax/product merges. renderer: 'rasterize' or
+    'raytrace'."""
+    nd = mesh.shape[DATA_AXIS]
+    if cfg.height % nd != 0:
+        raise ValueError(f"height {cfg.height} not divisible by {nd}")
+    rows = cfg.height // nd
+    block_fn = (soft_raster_block if renderer == "rasterize"
+                else soft_raytrace_block)
+    # The soft kernels pick interpret mode from the DEFAULT backend;
+    # decide from the mesh's own devices instead (virtual CPU meshes
+    # under a TPU default must interpret).
+    interp = mesh.devices.flat[0].platform != "tpu"
+
+    def _block(scene, camera, lights):
+        di = jax.lax.axis_index(DATA_AXIS)
+        color = block_fn(scene, camera, lights, cfg, di * rows, rows,
+                         interpret=interp)
+        return color.reshape(rows, cfg.width, 3)
+
+    smapped = shard_map(
+        _block,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 class TrainState(NamedTuple):
     scene: Scene
     lights: Lights
@@ -418,12 +613,16 @@ def make_sharded_rasterize(mesh, cfg: RenderConfig):
     return jax.jit(smapped)
 
 
-def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer):
+def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer,
+                            renderer: str = "raytrace"):
     """Sharded inverse-rendering train step (BASELINE configs 4/5).
 
     params = (scene, lights) replicated; target (H, W, 3) sharded over rows.
-    loss = mean squared error to the target image. Returns
-    (train_step, loss_fn) — both jit-compiled for the mesh.
+    loss = mean squared error to the target image. cfg.mode == 'soft'
+    trains through the sharded SOFT renderer (silhouette gradients on a
+    mesh); other modes through the hard clean path. renderer selects
+    'raytrace' or 'rasterize' in soft mode. Returns (train_step, loss_fn)
+    — both jit-compiled for the mesh.
     """
     cfg = _resolve_pallas_for_mesh(mesh, cfg)
     nd = mesh.shape[DATA_AXIS]
@@ -431,15 +630,25 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer):
         raise ValueError(f"height {cfg.height} not divisible by {nd}")
     rows = cfg.height // nd
     denom = jnp.float32(cfg.height * cfg.width * 3)
+    soft = cfg.mode == "soft"
+    soft_fn = (soft_raster_block if renderer == "rasterize"
+               else soft_raytrace_block)
+    interp = mesh.devices.flat[0].platform != "tpu"
 
     def _local_loss(scene, lights, camera, target_block):
         di = jax.lax.axis_index(DATA_AXIS)
-        color, fd = render_block(scene, camera, lights, cfg,
-                                 di * rows, rows)
-        img_block = color.reshape(rows, cfg.width, 3)
-        if cfg.dof_enabled:
-            img_block = dof_block(img_block, fd.reshape(rows, cfg.width),
-                                  cfg, cfg.height, di * rows)
+        if soft:
+            color = soft_fn(scene, camera, lights, cfg, di * rows, rows,
+                            interpret=interp)
+            img_block = color.reshape(rows, cfg.width, 3)
+        else:
+            color, fd = render_block(scene, camera, lights, cfg,
+                                     di * rows, rows)
+            img_block = color.reshape(rows, cfg.width, 3)
+            if cfg.dof_enabled:
+                img_block = dof_block(img_block,
+                                      fd.reshape(rows, cfg.width),
+                                      cfg, cfg.height, di * rows)
         l = jnp.sum((img_block - target_block) ** 2)
         l = jax.lax.psum(l, DATA_AXIS) / denom
         l = jax.lax.pmean(l, MODEL_AXIS)

@@ -5,6 +5,8 @@ conftest forces JAX_PLATFORMS=cpu with
 tests exercise the real mesh/collective code paths without TPU hardware.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,3 +156,91 @@ def test_entry_compiles():
     spec.loader.exec_module(ge)
     fn, args = ge.entry()
     jax.jit(fn).lower(*args).compile()
+
+
+@pytest.mark.parametrize("renderer", ["rasterize", "raytrace"])
+def test_sharded_soft_render_matches_unsharded(renderer):
+    """Sharded SOFT render (triangle-sharded softmax / transmittance
+    merges, VERDICT round-2 item 5) equals the single-device soft
+    renderer: partial-aggregation combine is exact up to fp
+    reassociation."""
+    from raytpu.parallel.render import make_sharded_soft_render
+    from raytpu.render.soft import rasterize_soft, raytrace_soft
+
+    scene = cornell_box(pad_to=32)
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=32, height=32, mode="soft",
+                       soft_edge_sharpness=10.0, soft_z_sharpness=20.0)
+    if renderer == "rasterize":
+        cam = Camera.rasterizer_default()
+        ref = rasterize_soft(scene, cam, lights, cfg)
+    else:
+        cam = Camera.raytracer_default()
+        ref = raytrace_soft(scene, cam, lights, cfg)
+    mesh = make_mesh(data=4, model=2)
+    img = make_sharded_soft_render(mesh, cfg, renderer)(scene, cam, lights)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_soft_gradients_match_unsharded():
+    """Soft (silhouette) gradients through the sharded train step equal
+    the single-device soft gradients — the m-stop-grad stats combine
+    (parallel.render._soft_combine) must be exact, not just the values."""
+    from raytpu.render.soft import rasterize_soft
+
+    scene = cornell_box(pad_to=32)
+    cam = Camera.rasterizer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=16, height=16, mode="soft",
+                       soft_edge_sharpness=10.0, soft_z_sharpness=20.0)
+    mesh = make_mesh(data=2, model=4)
+    opt = optax.sgd(1e-2)
+    _, loss_fn = make_sharded_train_step(mesh, cfg, opt,
+                                         renderer="rasterize")
+    target = rasterize_soft(scene, cam, lights, cfg)
+
+    perturbed = dataclasses.replace(scene, v0=scene.v0 + 0.01)
+    g_sh = jax.grad(lambda p: loss_fn(p, cam, target))((perturbed, lights))
+
+    def unsharded_loss(p):
+        s, l = p
+        img = rasterize_soft(s, cam, l, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_un = jax.grad(unsharded_loss)((perturbed, lights))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_un)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)
+
+
+def test_sharded_soft_training_converges():
+    """A vertex+light fit through the sharded SOFT step (the sharded
+    silhouette-gradient path, BASELINE config 4 on a mesh) recovers a
+    perturbed scene: loss drops >3x in 30 steps."""
+    from raytpu.render.soft import raytrace_soft
+
+    scene = cornell_box(pad_to=32)
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=16, height=16, mode="soft",
+                       soft_edge_sharpness=10.0, soft_z_sharpness=20.0)
+    mesh = make_mesh(data=4, model=2)
+    opt = optax.adam(3e-3)
+    train_step, loss_fn = make_sharded_train_step(mesh, cfg, opt,
+                                                  renderer="raytrace")
+    target = raytrace_soft(scene, cam, lights, cfg)
+    target = jax.device_put(target, row_sharding(mesh))
+    key = jax.random.PRNGKey(3)
+    noisy = dataclasses.replace(
+        scene, v0=scene.v0 + 0.03 * jax.random.normal(key, scene.v0.shape))
+    state = TrainState(scene=noisy, lights=lights,
+                       opt_state=opt.init((noisy, lights)))
+    l0 = float(loss_fn((state.scene, state.lights), cam, target))
+    for _ in range(30):
+        state, loss = train_step(state, cam, target)
+    assert float(loss) < l0 / 3, f"{l0} -> {float(loss)}"
