@@ -353,138 +353,416 @@ def _bwd_kernel(px_ref, m_ref, cot_ref,
         dl_ref[:, :] = dl_ref[:, :] + dlt
 
 
+def _fwd_kernel_masked(mask_ref, px_ref, consts_ref, glob_ref, lights_ref,
+                       img_ref, m_ref, s_ref,
+                       m_s, s_s, a0_s, a1_s, a2_s, *,
+                       es, zs, ambient, capacity):
+    """Chunk-culled _fwd_kernel: the per-chunk math runs under
+    pl.when(keep); carries, init and the final normalize stay
+    unconditional. mask_ref: (n_tiles * n_chunks,) int32 scalar-prefetch
+    keep mask (soft_keep_mask)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    keep = mask_ref[i * n_chunks + c] != 0
+
+    @pl.when(c == 0)
+    def _():
+        m_s[:, :] = jnp.zeros_like(m_s[:, :])
+        s_s[:, :] = jnp.ones_like(s_s[:, :])
+        a0_s[:, :] = jnp.zeros_like(a0_s[:, :])
+        a1_s[:, :] = jnp.zeros_like(a1_s[:, :])
+        a2_s[:, :] = jnp.zeros_like(a2_s[:, :])
+
+    @pl.when(keep)
+    def _():
+        px = px_ref[0:1, :]
+        py = px_ref[1:2, :]
+        logit, sh0, sh1, sh2 = _chunk_terms(
+            consts_ref[:, :], glob_ref[:, :], lights_ref[:, :], px, py,
+            es=es, zs=zs, ambient=ambient, capacity=capacity,
+        )
+        m = m_s[:, :]
+        m_new = jnp.maximum(m, jnp.max(logit, axis=0, keepdims=True))
+        scale = jnp.exp(m - m_new)
+        w = jnp.exp(logit - m_new)
+        m_s[:, :] = m_new
+        s_s[:, :] = s_s[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+        a0_s[:, :] = a0_s[:, :] * scale + jnp.sum(w * sh0, axis=0,
+                                                  keepdims=True)
+        a1_s[:, :] = a1_s[:, :] * scale + jnp.sum(w * sh1, axis=0,
+                                                  keepdims=True)
+        a2_s[:, :] = a2_s[:, :] * scale + jnp.sum(w * sh2, axis=0,
+                                                  keepdims=True)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        rec = 1.0 / s_s[:, :]
+        img_ref[0:1, :] = a0_s[:, :] * rec
+        img_ref[1:2, :] = a1_s[:, :] * rec
+        img_ref[2:3, :] = a2_s[:, :] * rec
+        m_ref[:, :] = m_s[:, :]
+        s_ref[:, :] = s_s[:, :]
+
+
+def _bwd_kernel_masked(mask_ref, px_ref, m_ref, cot_ref,
+                       consts_ref, glob_ref, lights_ref,
+                       dc_ref, dg_ref, dl_ref, *,
+                       es, zs, ambient, capacity):
+    """Chunk-culled _bwd_kernel: outputs are zero-initialized
+    unconditionally on first visit, then accumulated under
+    pl.when(keep). A culled (tile, chunk) pair's true gradient carries
+    the same <= 1e-20 relative weight the forward dropped
+    (soft_keep_mask)."""
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    n_chunks = pl.num_programs(0)
+    keep = mask_ref[t * n_chunks + c] != 0
+
+    @pl.when(t == 0)
+    def _():
+        dc_ref[:, :] = jnp.zeros_like(dc_ref[:, :])
+
+    @pl.when((c == 0) & (t == 0))
+    def _():
+        dg_ref[:, :] = jnp.zeros_like(dg_ref[:, :])
+        dl_ref[:, :] = jnp.zeros_like(dl_ref[:, :])
+
+    @pl.when(keep)
+    def _():
+        px = px_ref[0:1, :]
+        py = px_ref[1:2, :]
+        m = m_ref[:, :]
+        ds = cot_ref[0:1, :]
+        da = [cot_ref[j + 1:j + 2, :] for j in range(3)]
+
+        def f(cs, gl, lt):
+            logit, sh0, sh1, sh2 = _chunk_terms(
+                cs, gl, lt, px, py,
+                es=es, zs=zs, ambient=ambient, capacity=capacity,
+            )
+            w = jnp.exp(logit - m)
+            return (
+                jnp.sum(w, axis=0, keepdims=True),
+                jnp.sum(w * sh0, axis=0, keepdims=True),
+                jnp.sum(w * sh1, axis=0, keepdims=True),
+                jnp.sum(w * sh2, axis=0, keepdims=True),
+            )
+
+        _, vjp_fn = jax.vjp(
+            f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :]
+        )
+        dcs, dgl, dlt = vjp_fn((ds, da[0], da[1], da[2]))
+        dc_ref[:, :] = dc_ref[:, :] + dcs
+        dg_ref[:, :] = dg_ref[:, :] + dgl
+        dl_ref[:, :] = dl_ref[:, :] + dlt
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _soft_agg(consts, glob, lights_tab, coords,
-              es, zs, ambient, capacity, tile_p, chunk):
+# ---------------------------------------------------------------------------
+# Chunk culling (soft analog of kernels/cull.py — screen-space boxes)
+# ---------------------------------------------------------------------------
+
+# ln(1e-20): the kernel's own validity epsilon. A culled contribution is
+# bounded to exp(-_CULL_MARGIN) RELATIVE to the background hypothesis
+# (logit 0), i.e. the same magnitude the kernel already treats as zero.
+_CULL_MARGIN = 46.0
+
+
+def soft_chunk_bounds(consts: jax.Array, chunk: int):
+    """Per-chunk screen bbox + max vertex zinv for the cull test.
+
+    consts: (Tp, 32) soft_tri_constants rows, Tp % chunk == 0. Rows that
+    are entirely zero (chunk padding) are excluded; every OTHER row —
+    including valid == 0 (degenerate-area) ones — is covered, because the
+    kernel still evaluates it with a finite logit (zs * zpx - 46) that
+    the cull bound must dominate.
+
+    Returns (boxes (n_chunks, 4) [xmin, ymin, xmax, ymax],
+             zmax (n_chunks,) max vertex zinv clamped at 0,
+             nonempty (n_chunks,) bool).
+    """
+    Tp = consts.shape[0]
+    n = Tp // chunk
+    c = consts.reshape(n, chunk, _CONST_COLS)
+    row_used = jnp.any(c != 0.0, axis=-1)                 # (n, chunk)
+    xs = jnp.stack([c[..., 0], c[..., 2], c[..., 4]], -1)  # (n, chunk, 3)
+    ys = jnp.stack([c[..., 1], c[..., 3], c[..., 5]], -1)
+    zi = jnp.stack([c[..., 10], c[..., 11], c[..., 12]], -1)
+    big = jnp.float32(3.0e38)
+    m3 = row_used[..., None]
+    xmin = jnp.min(jnp.where(m3, xs, big), axis=(1, 2))
+    xmax = jnp.max(jnp.where(m3, xs, -big), axis=(1, 2))
+    ymin = jnp.min(jnp.where(m3, ys, big), axis=(1, 2))
+    ymax = jnp.max(jnp.where(m3, ys, -big), axis=(1, 2))
+    zmax = jnp.maximum(jnp.max(jnp.where(m3, zi, -big), axis=(1, 2)), 0.0)
+    nonempty = jnp.any(row_used, axis=1)
+    boxes = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
+    return boxes, zmax, nonempty
+
+
+def soft_keep_mask(coords: jax.Array, consts: jax.Array,
+                   es: float, zs: float, tile_p: int,
+                   chunk: int) -> jax.Array:
+    """Conservative (n_tiles, n_chunks) float32 keep-mask for the soft
+    raster kernels.
+
+    A chunk may be skipped for a pixel tile when every pixel of the tile
+    is farther than delta_c from the chunk's screen bbox, with
+    delta_c = (zs * zmax_c + _CULL_MARGIN) / es: a dropped row's logit is
+    then <= zs * zpx + log_sigmoid(es * sdist) <= zs * zmax_c
+    - es * delta_c = -_CULL_MARGIN, i.e. weight <= 1e-20 x the background
+    hypothesis that floors every pixel's softmax denominator
+    (log_sigmoid(-x) <= -x; sdist <= -boxdist since the triangle lies in
+    its bbox). Gradients of dropped terms carry the same exp factor, so
+    the mask is cull-safe for the backward too. Pixel-tile boxes come
+    from the ACTUAL coords (swizzled 2D blocks make them tight; -1e9
+    padding columns blow a tile's box wide open, which only over-keeps).
+    """
+    Rp = coords.shape[1]
+    n_tiles = Rp // tile_p
+    px = coords[0].reshape(n_tiles, tile_p)
+    py = coords[1].reshape(n_tiles, tile_p)
+    tbox = jnp.stack([px.min(1), py.min(1), px.max(1), py.max(1)], axis=1)
+
+    boxes, zmax, nonempty = soft_chunk_bounds(consts, chunk)
+    delta = (zs * zmax + _CULL_MARGIN) / es               # (n_chunks,)
+
+    def axis_gap(tlo, thi, clo, chi):
+        return jnp.maximum(
+            jnp.maximum(clo[None, :] - thi[:, None],
+                        tlo[:, None] - chi[None, :]), 0.0)
+
+    dx = axis_gap(tbox[:, 0], tbox[:, 2], boxes[:, 0], boxes[:, 2])
+    dy = axis_gap(tbox[:, 1], tbox[:, 3], boxes[:, 1], boxes[:, 3])
+    # Relative + absolute slack on the comparison (f32 boxes at ~1e3 px).
+    lim = delta[None, :] * 1.001 + 0.5
+    keep = (dx * dx + dy * dy <= lim * lim) & nonempty[None, :]
+    return keep.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _soft_agg(consts, glob, lights_tab, coords, mask,
+              es, zs, ambient, capacity, tile_p, chunk, interpret=None):
     """img (3, Rp) = soft-z aggregation. coords: (2, Rp) pixel x, y;
-    consts (Tp, 32) with Tp % chunk == 0, Rp % tile_p == 0."""
+    consts (Tp, 32) with Tp % chunk == 0, Rp % tile_p == 0.
+    mask: None, or a float32 (n_tiles, n_chunks) conservative keep mask
+    (soft_keep_mask) — culled (tile, chunk) steps are skipped in forward
+    AND backward (contributions provably <= 1e-20 relative)."""
     img, _, _ = _soft_agg_fwd_impl(
-        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
-        tile_p, chunk,
+        consts, glob, lights_tab, coords, mask, es, zs, ambient, capacity,
+        tile_p, chunk, interpret=interpret,
     )
     return img
 
 
-def _soft_agg_fwd_impl(consts, glob, lights_tab, coords,
+def _soft_agg_fwd_impl(consts, glob, lights_tab, coords, mask,
                        es, zs, ambient, capacity, tile_p, chunk,
                        interpret=None):
     Rp = coords.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
     L = lights_tab.shape[0]
+    interp = _interpret() if interpret is None else interpret
+    out_shape = [
+        jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((1, tile_p), jnp.float32) for _ in range(5)]
+    if mask is None:
+        kernel = functools.partial(
+            _fwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+        )
+        img, m, s = pl.pallas_call(
+            kernel,
+            grid=(Rp // tile_p, n_chunks),
+            in_specs=[
+                pl.BlockSpec((2, tile_p), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, _CONST_COLS), lambda i, c: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interp,
+        )(coords, consts, glob, lights_tab)
+        return img, m, s
+
     kernel = functools.partial(
-        _fwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+        _fwd_kernel_masked, es=es, zs=zs, ambient=ambient,
+        capacity=capacity,
     )
-    img, m, s = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(Rp // tile_p, n_chunks),
         in_specs=[
-            pl.BlockSpec((2, tile_p), lambda i, c: (0, i),
+            pl.BlockSpec((2, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _CONST_COLS), lambda i, c: (c, 0),
+            pl.BlockSpec((chunk, _CONST_COLS), lambda i, c, m_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda i, c: (0, 0),
+            pl.BlockSpec((1, 16), lambda i, c, m_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8), lambda i, c: (0, 0),
+            pl.BlockSpec((L, 8), lambda i, c, m_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+            pl.BlockSpec((3, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+            pl.BlockSpec((1, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
+            pl.BlockSpec((1, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((1, tile_p), jnp.float32)
-                        for _ in range(5)],
-        interpret=(_interpret() if interpret is None
-                   else interpret),
-    )(coords, consts, glob, lights_tab)
+        scratch_shapes=scratch,
+    )
+    img, m, s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+    )(mask.astype(jnp.int32).reshape(-1), coords, consts, glob,
+      lights_tab)
     return img, m, s
 
 
-def _soft_agg_fwd(consts, glob, lights_tab, coords,
-                  es, zs, ambient, capacity, tile_p, chunk):
+def _soft_agg_fwd(consts, glob, lights_tab, coords, mask,
+                  es, zs, ambient, capacity, tile_p, chunk,
+                  interpret=None):
     img, m, s = _soft_agg_fwd_impl(
-        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
-        tile_p, chunk,
+        consts, glob, lights_tab, coords, mask, es, zs, ambient, capacity,
+        tile_p, chunk, interpret=interpret,
     )
-    return img, (consts, glob, lights_tab, coords, img, m, s)
+    return img, (consts, glob, lights_tab, coords, mask, img, m, s)
 
 
-def _bwd_impl(consts, glob, lights_tab, coords, m, cot,
+def _bwd_impl(consts, glob, lights_tab, coords, mask, m, cot,
               es, zs, ambient, capacity, tile_p, chunk, interpret=None):
     Rp = coords.shape[1]
     Tp = consts.shape[0]
     n_chunks = Tp // chunk
+    n_tiles = Rp // tile_p
     L = lights_tab.shape[0]
+    interp = _interpret() if interpret is None else interpret
+    out_shape = [
+        jax.ShapeDtypeStruct((Tp, _CONST_COLS), jnp.float32),
+        jax.ShapeDtypeStruct((1, 16), jnp.float32),
+        jax.ShapeDtypeStruct((L, 8), jnp.float32),
+    ]
+    if mask is None:
+        kernel = functools.partial(
+            _bwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+        )
+        dc, dg, dl = pl.pallas_call(
+            kernel,
+            grid=(n_chunks, n_tiles),
+            in_specs=[
+                pl.BlockSpec((2, tile_p), lambda c, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, tile_p), lambda c, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            interpret=interp,
+        )(coords, m, cot, consts, glob, lights_tab)
+        return dc, dg, dl
+
     kernel = functools.partial(
-        _bwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
+        _bwd_kernel_masked, es=es, zs=zs, ambient=ambient,
+        capacity=capacity,
     )
-    dc, dg, dl = pl.pallas_call(
-        kernel,
-        grid=(n_chunks, Rp // tile_p),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, n_tiles),
         in_specs=[
-            pl.BlockSpec((2, tile_p), lambda c, i: (0, i),
+            pl.BlockSpec((2, tile_p), lambda c, i, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
+            pl.BlockSpec((1, tile_p), lambda c, i, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_p), lambda c, i: (0, i),
+            pl.BlockSpec((4, tile_p), lambda c, i, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i, m_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+            pl.BlockSpec((1, 16), lambda c, i, m_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+            pl.BlockSpec((L, 8), lambda c, i, m_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
+            pl.BlockSpec((chunk, _CONST_COLS), lambda c, i, m_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16), lambda c, i: (0, 0),
+            pl.BlockSpec((1, 16), lambda c, i, m_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 8), lambda c, i: (0, 0),
+            pl.BlockSpec((L, 8), lambda c, i, m_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, _CONST_COLS), jnp.float32),
-            jax.ShapeDtypeStruct((1, 16), jnp.float32),
-            jax.ShapeDtypeStruct((L, 8), jnp.float32),
-        ],
-        interpret=(_interpret() if interpret is None
-                   else interpret),
-    )(coords, m, cot, consts, glob, lights_tab)
+    )
+    dc, dg, dl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interp,
+    )(mask.astype(jnp.int32).reshape(-1), coords, m, cot, consts, glob,
+      lights_tab)
     return dc, dg, dl
 
 
-def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, res, gcot):
-    consts, glob, lights_tab, coords, img, m, s = res
+def _mask_cot(mask):
+    return None if mask is None else jnp.zeros_like(mask)
+
+
+def _soft_agg_bwd(es, zs, ambient, capacity, tile_p, chunk, interpret,
+                  res, gcot):
+    consts, glob, lights_tab, coords, mask, img, m, s = res
     # img = acc / s  =>  d acc_j = g_j / s;  d s = -(g . img) / s.
     srec = 1.0 / s
     da = gcot * srec
     ds = -jnp.sum(gcot * img, axis=0, keepdims=True) * srec
     cot = jnp.concatenate([ds, da], axis=0)
-    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, m, cot,
-                           es, zs, ambient, capacity, tile_p, chunk)
-    return dc, dg, dl, jnp.zeros_like(coords)
+    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, mask, m, cot,
+                           es, zs, ambient, capacity, tile_p, chunk,
+                           interpret=interpret)
+    return dc, dg, dl, jnp.zeros_like(coords), _mask_cot(mask)
 
 
 _soft_agg.defvjp(_soft_agg_fwd, _soft_agg_bwd)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _soft_agg_stats(consts, glob, lights_tab, coords,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _soft_agg_stats(consts, glob, lights_tab, coords, mask,
                     es, zs, ambient, capacity, tile_p, chunk,
                     interpret=None):
     """Like _soft_agg but also returns the softmax residuals (m, s) so a
@@ -496,43 +774,65 @@ def _soft_agg_stats(consts, glob, lights_tab, coords,
     held constant) then carries exactly the terms the discarded m-path
     would have contributed (they cancel analytically, module docstring)."""
     return _soft_agg_fwd_impl(
-        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        consts, glob, lights_tab, coords, mask, es, zs, ambient, capacity,
         tile_p, chunk, interpret=interpret,
     )
 
 
-def _soft_agg_stats_fwd(consts, glob, lights_tab, coords,
+def _soft_agg_stats_fwd(consts, glob, lights_tab, coords, mask,
                         es, zs, ambient, capacity, tile_p, chunk,
                         interpret=None):
     img, m, s = _soft_agg_fwd_impl(
-        consts, glob, lights_tab, coords, es, zs, ambient, capacity,
+        consts, glob, lights_tab, coords, mask, es, zs, ambient, capacity,
         tile_p, chunk, interpret=interpret,
     )
-    return (img, m, s), (consts, glob, lights_tab, coords, img, m, s)
+    return (img, m, s), (consts, glob, lights_tab, coords, mask, img, m, s)
 
 
 def _soft_agg_stats_bwd(es, zs, ambient, capacity, tile_p, chunk,
                         interpret, res, gcots):
-    consts, glob, lights_tab, coords, img, m, s = res
+    consts, glob, lights_tab, coords, mask, img, m, s = res
     g_img, _g_m, g_s = gcots  # g_m discarded (see _soft_agg_stats)
     srec = 1.0 / s
     da = g_img * srec
     ds = -jnp.sum(g_img * img, axis=0, keepdims=True) * srec + g_s
     cot = jnp.concatenate([ds, da], axis=0)
-    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, m, cot,
+    dc, dg, dl = _bwd_impl(consts, glob, lights_tab, coords, mask, m, cot,
                            es, zs, ambient, capacity, tile_p, chunk,
                            interpret=interpret)
-    return dc, dg, dl, jnp.zeros_like(coords)
+    return dc, dg, dl, jnp.zeros_like(coords), _mask_cot(mask)
 
 
 _soft_agg_stats.defvjp(_soft_agg_stats_fwd, _soft_agg_stats_bwd)
 
 
+def _cull_block(tile_p: int, H: int, W: int):
+    """(th, tw) pixel-block shape for culling, or None when the image
+    cannot be evenly blocked. Spatially square-ish 2D blocks make tile
+    bboxes tight (a row-major tile spans the whole image width and keeps
+    nearly everything — CLAUDE.md round-1 lesson)."""
+    tw = 32
+    while tw > 1 and (tile_p % tw or W % tw):
+        tw //= 2
+    th = tile_p // tw
+    if tile_p % tw or H % th or W % tw:
+        return None
+    return th, tw
+
+
 def rasterize_soft_pallas(scene, camera, lights, cfg,
-                          tile_p: int = 1024, chunk: int = 32) -> jax.Array:
+                          tile_p: int = 1024, chunk: int = 32,
+                          cull: bool | None = None) -> jax.Array:
     """Fused-kernel rasterize_soft. Returns (H, W, 3); gradients flow to
     scene vertices/colors, camera pose and light parameters through the
-    custom VJP (see module docstring)."""
+    custom VJP (see module docstring).
+
+    cull=None (auto) enables conservative chunk culling (soft_keep_mask)
+    on multi-chunk scenes when the image tiles evenly into 2D pixel
+    blocks; the pixel swizzle is a pure reshape/transpose on the coords
+    and the output columns (the kernel is order-agnostic in pixels).
+    """
+    from raytpu.kernels.intersect_pallas import _swizzle, _unswizzle
     from raytpu.render.soft import _screen_vertices
 
     H, W = cfg.height, cfg.width
@@ -553,22 +853,47 @@ def rasterize_soft_pallas(scene, camera, lights, cfg,
         consts = jnp.concatenate(
             [consts, jnp.zeros((padt, _CONST_COLS), jnp.float32)], axis=0
         )
+    n_chunks = consts.shape[0] // chunk
+
+    blk = _cull_block(tile_p, H, W)
+    use_cull = (cull if cull is not None
+                else (n_chunks > 1 and blk is not None))
+    if use_cull and blk is None:
+        raise ValueError(
+            f"cull=True needs H, W to tile into 2D blocks for tile_p "
+            f"{tile_p}; got {H}x{W}"
+        )
 
     R = H * W
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=0)
+    xs, ys = xs.reshape(-1), ys.reshape(-1)
+    if use_cull:
+        th, tw = blk
+        xs = _swizzle(xs, H, W, th, tw)
+        ys = _swizzle(ys, H, W, th, tw)
+    coords = jnp.stack([xs, ys], axis=0)
     padr = (-R) % tile_p
     if padr:
         coords = jnp.concatenate(
             [coords, jnp.full((2, padr), -1e9, jnp.float32)], axis=1
         )
 
+    es = float(cfg.soft_edge_sharpness)
+    zs = float(cfg.soft_z_sharpness)
+    mask = None
+    if use_cull:
+        mask = soft_keep_mask(
+            jax.lax.stop_gradient(coords),
+            jax.lax.stop_gradient(consts), es, zs, tile_p, chunk)
+
     img = _soft_agg(
-        consts, glob, lt, coords,
-        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
-        float(cfg.ambient), lights.capacity, tile_p, chunk,
+        consts, glob, lt, coords, mask,
+        es, zs, float(cfg.ambient), lights.capacity, tile_p, chunk,
     )
-    return img[:, :R].T.reshape(H, W, 3)
+    img = img[:, :R].T  # (R, 3)
+    if use_cull:
+        img = _unswizzle(img, H, W, blk[0], blk[1])
+    return img.reshape(H, W, 3)

@@ -304,7 +304,7 @@ def soft_raster_block(scene: Scene, camera: Camera, lights: Lights,
 
     img, m, s = _soft_agg_stats(
         consts, camera_globals(camera, cfg), lights_table(lights), coords,
-        float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
+        None, float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
         float(cfg.ambient), lights.capacity, tile_p, chunk, interpret,
     )
     # Background logit 0 (`rasteriser.cpp:188` cleared-to-0 depth buffer).

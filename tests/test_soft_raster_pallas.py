@@ -111,3 +111,56 @@ def test_zero_triangles_returns_background():
     assert np.all(np.isfinite(np.asarray(out)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_culled_matches_unculled():
+    """Chunk culling (soft_keep_mask) must not change the soft image or
+    its gradients beyond the ~1e-20 relative mass it provably drops —
+    multi-chunk STL geometry, 2D-blocked pixel tiles."""
+    import dataclasses
+
+    from raytpu.core.stl import load_reference_model
+    from raytpu.kernels.soft_raster_pallas import (
+        rasterize_soft_pallas,
+        soft_keep_mask,
+        soft_tri_constants,
+    )
+
+    full = load_reference_model()
+    sub = jax.tree_util.tree_map(lambda a: a[:64], full)
+    cam = Camera.make((0.7207, 0.0527, 0.2441), yaw=0.003, focal=200.37)
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=64, height=64, mode="soft",
+                       soft_edge_sharpness=10.0, soft_z_sharpness=20.0)
+
+    ref = rasterize_soft_pallas(sub, cam, lights, cfg, chunk=16,
+                                cull=False)
+    out = rasterize_soft_pallas(sub, cam, lights, cfg, chunk=16,
+                                cull=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+    # The mask must actually cull something on this tiny-on-screen model.
+    from raytpu.render.soft import _screen_vertices
+
+    sx, sy, zinv, pos3d = _screen_vertices(sub, cam, cfg)
+    consts = soft_tri_constants(sx, sy, zinv, pos3d, sub.color,
+                                sub.normals(), sub.active)
+    coords = np.stack(np.meshgrid(np.arange(64.0), np.arange(64.0),
+                                  indexing="xy"), 0).reshape(2, -1)
+    mask = soft_keep_mask(jnp.asarray(coords.astype(np.float32)),
+                          consts, 10.0, 20.0, 1024, 16)
+    assert float(jnp.mean(mask)) < 0.9, "mask culled nothing"
+
+    # Gradients agree too (both kernels, same vjp under the mask).
+    def loss(v0, cull):
+        s2 = dataclasses.replace(sub, v0=v0)
+        return jnp.sum(
+            rasterize_soft_pallas(s2, cam, lights, cfg, chunk=16,
+                                  cull=cull) ** 2)
+
+    g_ref = jax.grad(lambda v: loss(v, False))(sub.v0)
+    g_cul = jax.grad(lambda v: loss(v, True))(sub.v0)
+    scale = max(float(jnp.abs(g_ref).max()), 1e-3)
+    np.testing.assert_allclose(np.asarray(g_cul) / scale,
+                               np.asarray(g_ref) / scale, atol=1e-5)
