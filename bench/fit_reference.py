@@ -59,26 +59,28 @@ def _classify(c):
     return "?"
 
 
+def _class_grid(img_u8, stride=10):
+    import numpy as np
+
+    return np.array(
+        [[_classify(img_u8[y, x].astype(float))
+          for x in range(0, img_u8.shape[1], stride)]
+         for y in range(0, img_u8.shape[0], stride)])
+
+
 def class_agreement(img_u8, ref_u8, stride=10):
     import numpy as np
 
-    a = [[_classify(img_u8[y, x].astype(float))
-          for x in range(0, img_u8.shape[1], stride)]
-         for y in range(0, img_u8.shape[0], stride)]
-    b = [[_classify(ref_u8[y, x].astype(float))
-          for x in range(0, ref_u8.shape[1], stride)]
-         for y in range(0, ref_u8.shape[0], stride)]
-    return float((np.array(a) == np.array(b)).mean())
+    return float(np.mean(
+        _class_grid(img_u8, stride) == _class_grid(ref_u8, stride)))
 
 
-def hard_render(scene, camera, lights, size):
-    """The forward-parity TPU rasterization path (same stages the
-    screenshot-geometry test uses). Jitted — op-by-op dispatch through
-    the remote TPU tunnel is seconds-per-op (CLAUDE.md)."""
-    import functools
+import functools
 
+
+@functools.lru_cache(maxsize=4)
+def _hard_run(size):
     import jax
-    import numpy as np
 
     from raytpu.core.types import RenderConfig
     from raytpu.ops.raster import (
@@ -87,16 +89,26 @@ def hard_render(scene, camera, lights, size):
 
     cfg = RenderConfig(width=size, height=size)
 
-    @functools.partial(jax.jit, static_argnames=("cfg_",))
-    def run(scene_, camera_, lights_, cfg_):
-        keep = cull_mask(scene_, camera_, cfg_)
+    @jax.jit
+    def run(scene_, camera_, lights_):
+        keep = cull_mask(scene_, camera_, cfg)
         g = resolve_depth(
-            row_bounds(vertex_stage(scene_, camera_, cfg_), cfg_),
-            keep, cfg_)
-        color, _ = pixel_shade(g, scene_, camera_, lights_, cfg_)
+            row_bounds(vertex_stage(scene_, camera_, cfg), cfg),
+            keep, cfg)
+        color, _ = pixel_shade(g, scene_, camera_, lights_, cfg)
         return color
 
-    return np.asarray(run(scene, camera, lights, cfg)).reshape(
+    return run
+
+
+def hard_render(scene, camera, lights, size):
+    """The forward-parity TPU rasterization path (same stages the
+    screenshot-geometry test uses). Jitted and cached per size —
+    op-by-op dispatch through the remote TPU tunnel is seconds-per-op
+    (CLAUDE.md), and re-wrapping jit per call would retrace."""
+    import numpy as np
+
+    return np.asarray(_hard_run(size)(scene, camera, lights)).reshape(
         size, size, 3)
 
 
@@ -120,6 +132,15 @@ def main():
                          "stops the anneal earlier (very sharp finals "
                          "make the soft gradients spiky and HURT "
                          "recovery — measured)")
+    ap.add_argument("--stage-reset", action="store_true",
+                    help="re-init adam + cosine restart at each "
+                         "annealing stage boundary")
+    ap.add_argument("--select", default="best", choices=["best", "last"],
+                    help="'best' = validation-style selection on "
+                         "hard-render class agreement every eval-every "
+                         "steps (the soft loss is a surrogate; its "
+                         "minimum need not be the hard optimum)")
+    ap.add_argument("--eval-every", type=int, default=50)
     args = ap.parse_args()
 
     import jax
@@ -175,6 +196,14 @@ def main():
     log(f"[fit_reference] class agreement: true scene {agree_true:.4f}, "
         f"perturbed init {agree_init:.4f}")
 
+    ref_classes = _class_grid(ref_u8)
+
+    def eval_agreement(scene_, lights_):
+        import numpy as np
+
+        img = quantize_u8(hard_render(scene_, camera, lights_, size))
+        return float(np.mean(_class_grid(img) == ref_classes))
+
     render_cfg = RenderConfig(width=size, height=size, mode="soft")
     fit_cfg = FitConfig(
         steps=args.steps,
@@ -187,6 +216,10 @@ def main():
         log_every=25,
         checkpoint_dir=None,
         image_dump_every=0,
+        stage_reset=args.stage_reset,
+        eval_fn=eval_agreement,
+        eval_every=args.eval_every,
+        select=args.select,
     )
     t0 = time.time()
     result = fit(target, scene0, camera, lights0, render_cfg, fit_cfg)
@@ -209,11 +242,14 @@ def main():
         "wall_s": round(wall, 1),
         "loss_init": float(result.losses[0]),
         "loss_final": float(result.losses[-1]),
+        "stage_reset": args.stage_reset,
+        "select": args.select,
         "class_agreement": {
             "true_scene": agree_true,
             "perturbed_init": agree_init,
             "fitted": agree_fit,
         },
+        "eval_curve": [[int(s), round(v, 4)] for s, v in result.evals],
         "losses": [round(float(x), 8) for x in result.losses],
     }
     with open(os.path.join(args.out, "loss_curve.json"), "w") as f:

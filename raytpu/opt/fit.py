@@ -62,6 +62,21 @@ class FitConfig:
     # image_dump_dir (defaults to checkpoint_dir).
     image_dump_every: int = 0
     image_dump_dir: str | None = None
+    # Re-initialize the optimizer at every annealing-stage boundary
+    # (adam moments + cosine restart over the stage's own length). The
+    # sharpness jump between stages changes gradient scale/direction;
+    # stale adam moments from the previous surrogate bias the first
+    # steps of the next one (cosine warm restarts, Loshchilov&Hutter).
+    stage_reset: bool = False
+    # Validation-style checkpoint selection: every eval_every steps call
+    # eval_fn(scene, lights) -> float (HIGHER is better; e.g. a
+    # hard-render agreement metric) and remember the best params. The
+    # soft loss is a surrogate — its minimum need not coincide with the
+    # hard-render optimum, so select on the real objective.
+    eval_fn: Callable | None = None
+    eval_every: int = 0
+    # "last" returns the final params; "best" returns the eval_fn-best.
+    select: str = "last"
 
 
 class FitState(NamedTuple):
@@ -75,9 +90,13 @@ class FitResult(NamedTuple):
     scene: Scene
     lights: Lights
     losses: np.ndarray
+    # (step, score) pairs from eval_fn, empty when eval is off; the
+    # returned params are the best-scoring ones iff select == "best".
+    evals: tuple = ()
+    best_score: float | None = None
 
 
-def _make_optimizer(fit_cfg: FitConfig):
+def _make_optimizer(fit_cfg: FitConfig, steps: int | None = None):
     def label_fn(params):
         scene, lights = params
         return (
@@ -90,7 +109,7 @@ def _make_optimizer(fit_cfg: FitConfig):
     def lr(base):
         if fit_cfg.lr_schedule == "cosine":
             return optax.cosine_decay_schedule(
-                base, decay_steps=max(fit_cfg.steps, 1),
+                base, decay_steps=max(steps or fit_cfg.steps, 1),
                 alpha=fit_cfg.lr_schedule_alpha,
             )
         if fit_cfg.lr_schedule != "constant":
@@ -148,6 +167,18 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
         )
 
     losses = []
+    evals = []
+    best_score, best_params = None, params
+
+    def _maybe_eval(step):
+        nonlocal best_score, best_params
+        if fit_cfg.eval_fn is None:
+            return
+        score = float(fit_cfg.eval_fn(params[0], params[1]))
+        evals.append((step, score))
+        if best_score is None or score > best_score:
+            best_score, best_params = score, params
+
     step_counter = start_step
     rays_per_step = 2 * render_cfg.width * render_cfg.height  # fwd + bwd
     timer = FrameTimer(rays_per_frame=rays_per_step)
@@ -156,6 +187,9 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
             mode="soft", soft_edge_sharpness=edge_s, soft_z_sharpness=z_s
         )
         n_steps = int(fit_cfg.steps * frac)
+        if fit_cfg.stage_reset:
+            optimizer = _make_optimizer(fit_cfg, steps=n_steps)
+            opt_state = optimizer.init(params)
 
         if mesh is not None:
             from raytpu.parallel.render import make_sharded_soft_render
@@ -196,6 +230,9 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                 )
             losses.append(float(loss))
             step_counter += 1
+            if (fit_cfg.eval_every
+                    and step_counter % fit_cfg.eval_every == 0):
+                _maybe_eval(step_counter)
             if (fit_cfg.log_every
                     and step_counter % fit_cfg.log_every == 0):
                 log_metrics(
@@ -217,9 +254,17 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                     params, opt_state, step_counter,
                 )
 
+    if fit_cfg.eval_fn is not None and (
+            not evals or evals[-1][0] != step_counter):
+        _maybe_eval(step_counter)  # always score the final params
+    if fit_cfg.select == "best" and best_score is not None:
+        params = best_params
+    elif fit_cfg.select not in ("last", "best"):
+        raise ValueError(f"unknown select {fit_cfg.select!r}")
     scene, lights = params
     return FitResult(scene=scene, lights=lights,
-                     losses=np.asarray(losses))
+                     losses=np.asarray(losses),
+                     evals=tuple(evals), best_score=best_score)
 
 
 def _dump_image(img, fit_cfg: FitConfig, step: int) -> None:

@@ -139,3 +139,32 @@ def test_fit_with_mesh():
     )
     assert np.isfinite(res.losses[-1])
     assert res.losses[-1] < res.losses[0] * 0.3
+
+
+def test_fit_stage_reset_and_best_select():
+    """Warm restarts re-init adam at stage boundaries; select='best'
+    returns the eval_fn-argmax params, not the final ones (the soft loss
+    is a surrogate for hard-render agreement — bench/fit_reference.py)."""
+    scene, cam, target = _target_and_cfg()
+    li0 = Lights.single(capacity=1, intensity=8.0,
+                        position=(0.2, -0.3, -0.5))
+
+    seen = []
+
+    def ev(s, l):
+        # Score decreases, so 'best' must be the FIRST evaluated params.
+        seen.append(float(np.asarray(l.intensity)[0]))
+        return -float(len(seen))
+
+    res = fit(
+        target, scene, cam, li0,
+        RenderConfig(width=SIZE, height=SIZE, mode="soft"),
+        FitConfig(steps=8, log_every=0, lr_schedule="cosine",
+                  stages=((10.0, 20.0, 0.5), (40.0, 200.0, 0.5)),
+                  stage_reset=True, eval_fn=ev, eval_every=2,
+                  select="best"),
+    )
+    assert res.best_score == -1.0
+    assert [s for s, _ in res.evals] == [2, 4, 6, 8]
+    # Returned intensity equals the stored first-eval intensity.
+    assert float(np.asarray(res.lights.intensity)[0]) == seen[0]
