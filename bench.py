@@ -41,10 +41,13 @@ import signal
 import sys
 import time
 
-# Oracle-forward Mrays/s on this image's CPU, re-measured 2026-08
-# (bench_cpu_oracle). Hardcoded so the fallback paths never spend driver
-# budget on the baseline; --measure-baseline re-derives it.
-BASELINE_MRAYS = 0.22
+# Oracle-forward Mrays/s on this image's CPU (bench_cpu_oracle).
+# Best-of measurements across rounds 1-3: 0.49-0.52 on an idle machine
+# (slower readings were polluted by concurrent load) — the BEST case is
+# used, which is GENEROUS to the baseline / conservative for
+# vs_baseline. Hardcoded so the fallback paths never spend driver budget
+# on the baseline; --measure-baseline re-derives it.
+BASELINE_MRAYS = 0.52
 
 
 def log(*a):
