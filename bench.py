@@ -11,7 +11,8 @@ The JSON line also records (VERDICT round-1 item 4 — honest accounting):
   rasterize          hard rasterizer fwd+bwd (BASELINE config 2)
   soft_raytrace /    differentiable-mode fwd+bwd via the fused Pallas
   soft_rasterize     soft kernels
-  pct_roof_est       measured-vs-speed-of-light estimate for the headline
+  pct_roof_meas      train time vs the MEASURED plane-tests-only roof
+                     (bench/roofline.py sustained rate; bench/ROOFLINE.md)
 
 Robustness (VERDICT round-2 item 1 — the round-2 driver run timed out with
 nothing on stdout): measurement runs in a time-boxed child that prints a
@@ -131,14 +132,20 @@ def _chain_fwd(render_fn, params, iters):
     return best / 3 / iters * 1e3
 
 
+# Sustained per-test rate of the fused kernel, MEASURED by differencing
+# real kernels at STL scale (bench/roofline.py; 81.5 Gtests/s = 70% of
+# the v5e VPU lane spec for this instruction mix — see bench/ROOFLINE.md).
+MEASURED_GTESTS_S = 81.5
+
+
 def _roof_pct(train_ms, size, tris=32):
-    """Speed-of-light ESTIMATE for the hard fwd+bwd step: 25 VPU ops per
-    ray-triangle test (plane-test kernel count, bench/kernel_lab.py),
-    primary + shadow sweep, backward ~2x the forward recompute, at the
-    ~2.5e12 ops/s effective VPU rate the 9k-tri kernel sustains."""
+    """Measured plane-tests-only roof for the hard fwd+bwd step: primary
+    + shadow sweeps at the kernel's measured sustained rate, backward
+    ~2x the forward recompute. At Cornell scale (32 tris) the step is
+    O(R)-dominated, so this understates true utilization — the full
+    accounting (step ~ at its component-sum roof) is bench/ROOFLINE.md."""
     tests = 2.0 * size * size * tris
-    total_ops = tests * 25.0 * 3.0
-    ideal_ms = total_ops / 2.5e12 * 1e3
+    ideal_ms = tests * 3.0 / (MEASURED_GTESTS_S * 1e9) * 1e3
     return round(ideal_ms / train_ms * 100.0, 1)
 
 
@@ -188,7 +195,7 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
     rays = 2 * size * size
     res["train_ms"] = round(train_ms, 3)
     res["mrays"] = round(rays / train_ms / 1e3, 1)
-    res["pct_roof_est"] = _roof_pct(train_ms, size)
+    res["pct_roof_meas"] = _roof_pct(train_ms, size)
     log(f"[bench] raytrace fwd+bwd: {train_ms:.2f} ms -> "
         f"{res['mrays']} Mrays/s")
     report(res, False)

@@ -224,6 +224,37 @@ def cmd_fit(args):
         print(f"wrote {args.output}")
 
 
+def cmd_view(args):
+    import jax
+
+    from raytpu.core.types import Lights
+    from raytpu.view import ViewerApp, serve
+
+    scene, camera, _lights, cfg = _build_inputs(
+        args, rasterizer=(args.renderer == "rasterize"))
+    # Interactive 32-slot bank (reference light array, raytracer.cpp:47)
+    # so key '2' can spawn lights; render() compacts at the host edge.
+    lights = Lights.single(
+        position=args.light_pos, color=args.light_color,
+        intensity=args.light_intensity, capacity=32,
+        soft_samples=max(getattr(args, "soft_shadows", 1), 1),
+    )
+    for i, l in enumerate(args.add_light or []):
+        lights = lights.add(l[:3], l[3:6], l[6],
+                            key=jax.random.PRNGKey(i + 1))
+    app = ViewerApp(scene, camera, lights, cfg, renderer=args.renderer)
+    print(f"compiling first frame ({cfg.width}x{cfg.height}, "
+          f"{args.renderer}, mode={cfg.mode})...", flush=True)
+    app.render()
+    server = serve(app, port=args.port)
+    print(f"raytpu viewer: http://127.0.0.1:{args.port}/  "
+          f"({app.last_ms:.0f} ms/frame warm)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def cmd_bench(args):
     import importlib.util
     import os
@@ -309,6 +340,15 @@ def main(argv=None):
                         "throughput measurement)")
     p.add_argument("--save-every", type=int, default=1)
     p.set_defaults(func=cmd_animate)
+
+    p = sub.add_parser(
+        "view", help="live interactive viewer (browser framebuffer; "
+                     "the reference's realtime SDL loop)")
+    _common_render_flags(p, rasterizer=False)
+    p.add_argument("--renderer", default="raytrace",
+                   choices=["raytrace", "rasterize"])
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(func=cmd_view)
 
     p = sub.add_parser("bench", help="single-chip benchmark")
     p.set_defaults(func=cmd_bench)

@@ -28,8 +28,8 @@ def quantize_u8(image: np.ndarray) -> np.ndarray:
     return np.clip(255.0 * img, 0.0, 255.0).astype(np.uint8)
 
 
-def write_bmp(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) image as a 24-bpp bottom-up BMP.
+def encode_bmp(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) image as 24-bpp bottom-up BMP bytes.
 
     Accepts float (quantized via :func:`quantize_u8`) or uint8 RGB.
     """
@@ -49,10 +49,14 @@ def write_bmp(path: str, image: np.ndarray) -> None:
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
     )
+    return header + info + rows.tobytes()
+
+
+def write_bmp(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) image as a 24-bpp bottom-up BMP
+    (:func:`encode_bmp`)."""
     with open(path, "wb") as f:
-        f.write(header)
-        f.write(info)
-        f.write(rows.tobytes())
+        f.write(encode_bmp(image))
 
 
 def read_bmp(path: str) -> np.ndarray:
