@@ -158,18 +158,25 @@ def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
     bx, by = col(2), col(3)
     cx, cy = col(4), col(5)
 
-    def edge(x0, y0, x1, y1, sk):
+    def edge_raw(x0, y0, x1, y1):
         # Differences first, products after — see soft_tri_constants's
         # layout note on f32 cancellation.
-        return ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * sk
+        return (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
 
-    e0 = edge(ax, ay, bx, by, col(6))
-    e1 = edge(bx, by, cx, cy, col(7))
-    e2 = edge(cx, cy, ax, ay, col(8))
+    # Raw edge values double as barycentric numerators: the 2D identity
+    # cross(v1 - v0, p - v0) == cross(v1 - p, v2(-cycle) - p) means
+    # edge_raw(b, c) IS l0's numerator and edge_raw(c, a) IS l1's
+    # (same difference-first conditioning; saves ~14 VPU slots/pair).
+    r0 = edge_raw(ax, ay, bx, by)
+    r1 = edge_raw(bx, by, cx, cy)
+    r2 = edge_raw(cx, cy, ax, ay)
+    e0 = r0 * col(6)
+    e1 = r1 * col(7)
+    e2 = r2 * col(8)
     hp_min = jnp.minimum(jnp.minimum(e0, e1), e2)
 
-    def seg(x0, y0, x1, y1):
-        # Exact distance to the edge SEGMENT (outside pixels; the
+    def seg2(x0, y0, x1, y1):
+        # Squared distance to the edge SEGMENT (outside pixels; the
         # half-plane min is only a distance inside the triangle).
         ex = x1 - x0
         ey = y1 - y0
@@ -179,17 +186,19 @@ def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
         )
         dx = px - (x0 + tpar * ex)
         dy = py - (y0 + tpar * ey)
-        return jnp.sqrt(dx * dx + dy * dy + 1e-20)
+        return dx * dx + dy * dy + 1e-20
 
-    seg_min = jnp.minimum(
-        jnp.minimum(seg(ax, ay, bx, by), seg(bx, by, cx, cy)),
-        seg(cx, cy, ax, ay),
-    )
+    # sqrt(min of squares) == min of sqrts (monotone): ONE sqrt per pair
+    # instead of three, bit-identical result.
+    seg_min = jnp.sqrt(jnp.minimum(
+        jnp.minimum(seg2(ax, ay, bx, by), seg2(bx, by, cx, cy)),
+        seg2(cx, cy, ax, ay),
+    ))
     sdist = jnp.where(hp_min >= 0.0, hp_min, -seg_min)
 
     inv_area = col(9)
-    l0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) * inv_area
-    l1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) * inv_area
+    l0 = r1 * inv_area
+    l1 = r2 * inv_area
     l2 = 1.0 - l0 - l1
     l0c = jnp.clip(l0, 0.0, 1.0)
     l1c = jnp.clip(l1, 0.0, 1.0)
@@ -236,10 +245,12 @@ def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
         rrec = jax.lax.rsqrt(r2s)
         lam = jnp.maximum(-(d[0] * n0 + d[1] * n1 + d[2] * n2) * rrec, 0.0)
         # base = mask * intensity * lam / (4 pi r^2), zeroed where r == 0.
+        # 1/r^2 as rrec^2 (already computed) — a VPU divide per pair is
+        # ~8 slots; the (1, 1) light-constant product folds per chunk.
         base = jnp.where(
             lit,
-            (lk[:, 7:8] * lk[:, 6:7]) * lam
-            / (jnp.float32(4.0 * math.pi) * r2s),
+            (lk[:, 7:8] * lk[:, 6:7] * jnp.float32(0.25 / math.pi))
+            * lam * (rrec * rrec),
             0.0,
         )
         for j in range(3):

@@ -144,10 +144,12 @@ def _irr_cols(w, n_cols, lt, capacity):
         r2s = jnp.where(lit, r2, 1.0)
         rrec = jax.lax.rsqrt(r2s)
         lam = jnp.maximum(-(d[0] * n0 + d[1] * n1 + d[2] * n2) * rrec, 0.0)
+        # 1/r^2 as rrec^2 — avoids a per-pair VPU divide (~8 slots); the
+        # (1, 1) light-constant product folds per chunk.
         base = jnp.where(
             lit,
-            (lk[:, 7:8] * lk[:, 6:7]) * lam
-            / (jnp.float32(4.0 * math.pi) * r2s),
+            (lk[:, 7:8] * lk[:, 6:7] * jnp.float32(0.25 / math.pi))
+            * lam * (rrec * rrec),
             0.0,
         )
         term = [base * lk[:, 3 + j:4 + j] for j in range(3)]
