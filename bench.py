@@ -87,10 +87,10 @@ def _chain_train(render_fn, params, iters):
     # Pipelined timing: dispatch all repeats asynchronously and block
     # once. Per-call block_until_ready would charge the ~20 ms remote
     # tunnel dispatch RTT to every call; in steady-state training those
-    # dispatches overlap device execution. Best of two batches — the
+    # dispatches overlap device execution. Best of four batches — the
     # shared remote tunnel occasionally stalls a batch by ~40%.
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         for _ in range(3):
             out = chained(params, os0)
@@ -123,7 +123,7 @@ def _chain_fwd(render_fn, params, iters):
     jax.block_until_ready(fwd_chain(scene))
     log(f"[bench] fwd chain compile: {time.time()-t0:.1f}s")
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         for _ in range(3):
             out = fwd_chain(scene)
