@@ -211,9 +211,16 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
 
         T = scene.num_triangles
         if T <= 1024:
+            # ONE (R, T) @ (T, 6) matmul for normals+albedo: the one-hot
+            # buffer (R*T f32, 33 MB at 512^2/T=32) is read once instead
+            # of twice, fwd and bwd — each output column is the same
+            # independent K-dot, so results are bit-identical to two
+            # separate gathers.
             oh = one_hot_idx(shade_idx, T)
-            n_dir = gather_rows(oh, scene.normals())
-            albedo = gather_rows(oh, scene.color)
+            both = gather_rows(
+                oh, jnp.concatenate([scene.normals(), scene.color], axis=1)
+            )
+            n_dir, albedo = both[:, :3], both[:, 3:]
         else:
             n_dir = None
             albedo = scene.color[shade_idx]

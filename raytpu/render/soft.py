@@ -538,14 +538,22 @@ def _shade_winner(winner, px, py, sx, sy, zinv, pos3d, scene: Scene,
     safe = jnp.maximum(winner, 0)
     T = sx.shape[0]
     if T <= 1024:
+        # ONE (R, T) @ (T, 24) matmul for all six per-winner attribute
+        # gathers: the (R, T) one-hot is read once instead of six times
+        # fwd and bwd; each output column is the same independent K-dot,
+        # so results are bit-identical to separate gathers.
         oh = one_hot_idx(safe, T)
-        vx = gather_rows(oh, sx)        # (R, 3)
-        vy = gather_rows(oh, sy)
-        vz = gather_rows(oh, zinv)
-        vp = gather_rows(oh, pos3d.reshape(T, 9)).reshape(-1, 3, 3)
+        g = gather_rows(oh, jnp.concatenate(
+            [sx, sy, zinv, pos3d.reshape(T, 9),
+             scene.normals(), scene.color], axis=1))
+        vx, vy, vz = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+        vp = g[:, 9:18].reshape(-1, 3, 3)
+        n_dir, albedo = g[:, 18:21], g[:, 21:24]
     else:
         vx, vy = sx[safe], sy[safe]
         vz, vp = zinv[safe], pos3d[safe]
+        n_dir = scene.normals()[safe]
+        albedo = scene.color[safe]
 
     ax, ay = vx[:, 0], vy[:, 0]
     bx, by = vx[:, 1], vy[:, 1]
@@ -570,12 +578,6 @@ def _shade_winner(winner, px, py, sx, sy, zinv, pos3d, scene: Scene,
     inv_rot = glm_inverse3(camera.rotation())
     zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
     world = _MM(ppx / zsafe[:, None], inv_rot) + camera.pos
-    if T <= 1024:
-        n_dir = gather_rows(oh, scene.normals())
-        albedo = gather_rows(oh, scene.color)
-    else:
-        n_dir = scene.normals()[safe]
-        albedo = scene.color[safe]
     irr = irradiance_no_shadow(world, n_dir, lights)
     color = albedo * (irr + jnp.float32(cfg.ambient))
     return jnp.where(hit[:, None], color, 0.0)
