@@ -5,14 +5,25 @@ Cornell box, hard-visibility raytrace ("clean" mode). One frame = 512^2
 primary rays + 512^2 shadow rays (one light, hard shadows); a fwd+bwd step
 is value_and_grad of an image MSE wrt scene + light parameters.
 
+Timing methodology (round 4): every per-step number is a SLOPE — the
+difference of two chain lengths of real chained steps divided by the
+iteration difference. Round 1-3 divided one chain's wall time by its
+iteration count, which charged the tunnel's fixed ~8 ms per-call
+dispatch cost to the steps (bench/megakernel_lab3.py measured a no-op
+kernel at "0.45 ms/iter" under that method; the real kernel slope is
+0.249 ms). The slope is the marginal steady-state step time — the
+number a training loop actually sees. Raw batch wall times for both
+lengths are recorded under "timing" so stalls are visible ("spread").
+
 The JSON line also records (VERDICT round-1 item 4 — honest accounting):
-  fwd_ms             chained forward-only frame time (same dispatch-free
-                     lax.scan methodology as the train step)
+  fwd_ms             chained forward-only frame slope
   rasterize          hard rasterizer fwd+bwd (BASELINE config 2)
   soft_raytrace /    differentiable-mode fwd+bwd via the fused Pallas
   soft_rasterize     soft kernels
-  pct_roof_meas      train time vs the MEASURED plane-tests-only roof
+  pct_roof_meas      forward slope vs the MEASURED plane-tests-only roof
                      (bench/roofline.py sustained rate; bench/ROOFLINE.md)
+  stl_intersect      9,216-tri brute vs chunk-culled forward sweep
+  timing/spread      raw batch times + relative spread (stall guard)
 
 Robustness (VERDICT round-2 item 1 — the round-2 driver run timed out with
 nothing on stdout): measurement runs in a time-boxed child that prints a
@@ -55,10 +66,67 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _chain_train(render_fn, params, iters):
-    """ms per fwd+bwd optimizer step, `iters` REAL steps chained in one
-    executable (tiny lr so parameters stay put numerically): per-call
-    timing under-reports dispatch, carry-ignoring scans get hoisted."""
+def _slope(time_at, n_lo, n_hi):
+    """Per-iteration ms via two-length differencing.
+
+    Round-3's per-call timing divided total wall by the iteration count,
+    which silently charged the tunnel's FIXED per-call dispatch cost
+    (~8 ms, measured in bench/megakernel_lab3.py: a no-op kernel 'times'
+    0.45 ms/iter at 20 iters while the real fused kernel slope is
+    0.249 ms) to every step. Differencing two chain lengths cancels the
+    fixed cost exactly — the reported number is the marginal
+    steady-state per-step time, which is the honest Mrays/s metric.
+
+    time_at(n) -> list of per-call wall times (ms) for an n-iteration
+    chain. Returns (slope_ms, diag) where diag carries the raw batch
+    times (VERDICT r3 item 5: stalls must be visible, never silently
+    folded into the headline).
+    """
+    import statistics
+
+    lo = time_at(n_lo)
+    hi = time_at(n_hi)
+    slope = (min(hi) - min(lo)) / (n_hi - n_lo)
+    if slope <= 0:  # a stall polluted every lo batch; conservative bound
+        slope = min(hi) / n_hi
+    diag = {
+        "fixed_ms": round(min(lo) - n_lo * slope, 2),
+        "batches_lo_ms": [round(t, 2) for t in lo],
+        "batches_hi_ms": [round(t, 2) for t in hi],
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+        # typical-vs-best (median-based): a single stalled batch shows in
+        # the raw lists above without dominating the scalar.
+        "spread": round(
+            (statistics.median(hi) - min(hi)) / min(hi), 3),
+    }
+    return slope, diag
+
+
+def _time_batches(fn, args_for_batch, batches=5, reps=2):
+    """Per-call wall (ms): `reps` pipelined dispatches per batch, blocked
+    once (overlapping the tunnel RTT as steady-state training would);
+    args vary per (batch, rep) so the tunnel's value-replay cache can
+    never serve a result (bench/timing_sanity.py trap)."""
+    import jax
+
+    out = None
+    times = []
+    for b in range(batches):
+        t0 = time.time()
+        for r in range(reps):
+            out = fn(*args_for_batch(b * reps + r))
+        jax.block_until_ready(out)
+        times.append((time.time() - t0) / reps * 1e3)
+    return times
+
+
+def _chain_train(render_fn, params, n_lo=10, n_hi=50):
+    """ms per fwd+bwd optimizer step: REAL optimizer steps chained in one
+    executable (tiny lr so parameters stay put numerically), fixed
+    dispatch cost differenced out (see _slope)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -71,8 +139,11 @@ def _chain_train(render_fn, params, iters):
     vag = jax.value_and_grad(loss_fn)
     opt = optax.sgd(1e-9)
 
-    @jax.jit
-    def chained(p, os0):
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chained(p, os0, eps, iters):
+        # eps (unique per call) perturbs the params at 1e-30 so no two
+        # dispatches are value-identical (replay-cache guard).
+        p = jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype), p)
         def body(carry, _):
             p_, os_ = carry
             loss, g = vag(p_)
@@ -81,35 +152,35 @@ def _chain_train(render_fn, params, iters):
         return jax.lax.scan(body, (p, os0), None, length=iters)
 
     os0 = opt.init(params)
-    t0 = time.time()
-    jax.block_until_ready(chained(params, os0))
-    log(f"[bench] train chain compile: {time.time()-t0:.1f}s")
-    # Pipelined timing: dispatch all repeats asynchronously and block
-    # once. Per-call block_until_ready would charge the ~20 ms remote
-    # tunnel dispatch RTT to every call; in steady-state training those
-    # dispatches overlap device execution. Best of four batches — the
-    # shared remote tunnel occasionally stalls a batch by ~40%.
-    best = float("inf")
-    for _ in range(4):
+
+    def time_at(n):
         t0 = time.time()
-        for _ in range(3):
-            out = chained(params, os0)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best / 3 / iters * 1e3
+        jax.block_until_ready(
+            chained(params, os0, jnp.float32(0.0), iters=n))
+        log(f"[bench] train chain compile ({n} it): {time.time()-t0:.1f}s")
+        return _time_batches(
+            chained,
+            lambda k: (params, os0, jnp.float32(k) * 1e-30, n),
+        )
+
+    return _slope(time_at, n_lo, n_hi)
 
 
-def _chain_fwd(render_fn, params, iters):
+def _chain_fwd(render_fn, params, n_lo=10, n_hi=50):
     """ms per forward frame, chained through the carry (the rendered
     image feeds back into the parameters at weight 1e-20, so the scan
-    body cannot be hoisted as loop-invariant)."""
+    body cannot be hoisted as loop-invariant); fixed dispatch cost
+    differenced out (see _slope)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     scene, rest = params[0], params[1:]
 
-    @jax.jit
-    def fwd_chain(s):
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def fwd_chain(s, eps, iters):
+        s = jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype), s)
         def body(carry, _):
             img = render_fn(carry, *rest)
             mean = jnp.mean(img) * 1e-20
@@ -119,17 +190,16 @@ def _chain_fwd(render_fn, params, iters):
             return s2, jnp.mean(img)
         return jax.lax.scan(body, s, None, length=iters)
 
-    t0 = time.time()
-    jax.block_until_ready(fwd_chain(scene))
-    log(f"[bench] fwd chain compile: {time.time()-t0:.1f}s")
-    best = float("inf")
-    for _ in range(4):
+    def time_at(n):
         t0 = time.time()
-        for _ in range(3):
-            out = fwd_chain(scene)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best / 3 / iters * 1e3
+        jax.block_until_ready(fwd_chain(scene, jnp.float32(0.0), iters=n))
+        log(f"[bench] fwd chain compile ({n} it): {time.time()-t0:.1f}s")
+        return _time_batches(
+            fwd_chain,
+            lambda k: (scene, jnp.float32(k) * 1e-30, n),
+        )
+
+    return _slope(time_at, n_lo, n_hi)
 
 
 # Sustained per-test rate of the fused kernel, MEASURED by differencing
@@ -138,15 +208,17 @@ def _chain_fwd(render_fn, params, iters):
 MEASURED_GTESTS_S = 81.5
 
 
-def _roof_pct(train_ms, size, tris=32):
-    """Measured plane-tests-only roof for the hard fwd+bwd step: primary
-    + shadow sweeps at the kernel's measured sustained rate, backward
-    ~2x the forward recompute. At Cornell scale (32 tris) the step is
-    O(R)-dominated, so this understates true utilization — the full
-    accounting (step ~ at its component-sum roof) is bench/ROOFLINE.md."""
+def _roof_pct(fwd_ms, size, tris=32):
+    """Forward-kernel utilization: plane-tests-only ideal (primary +
+    shadow sweep at the kernel's measured sustained rate) over the
+    measured marginal FORWARD time. Round 3 compared 3x the ideal
+    against a train time that still contained the fixed dispatch cost;
+    with slope timing the backward does no plane sweeps (analytic VJP),
+    so the honest utilization statement is about the forward.
+    bench/ROOFLINE.md carries the full accounting."""
     tests = 2.0 * size * size * tris
-    ideal_ms = tests * 3.0 / (MEASURED_GTESTS_S * 1e9) * 1e3
-    return round(ideal_ms / train_ms * 100.0, 1)
+    ideal_ms = tests / (MEASURED_GTESTS_S * 1e9) * 1e3
+    return round(ideal_ms / fwd_ms * 100.0, 1)
 
 
 def _result_json(res, impl, complete, size=512):
@@ -191,29 +263,34 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
     cfg = RenderConfig(width=size, height=size, mode="clean",
                        use_pallas=use_pallas)
     rt = lambda s, l: raytrace_full(s, cam_rt, l, cfg).image  # noqa: E731
-    train_ms = _chain_train(rt, (scene, lights), iters)
+    train_ms, diag = _chain_train(rt, (scene, lights))
     rays = 2 * size * size
     res["train_ms"] = round(train_ms, 3)
     res["mrays"] = round(rays / train_ms / 1e3, 1)
-    res["pct_roof_meas"] = _roof_pct(train_ms, size)
-    log(f"[bench] raytrace fwd+bwd: {train_ms:.2f} ms -> "
-        f"{res['mrays']} Mrays/s")
+    res["timing"] = diag  # slope methodology + raw batches + spread
+    res["spread"] = diag["spread"]
+    log(f"[bench] raytrace fwd+bwd: {train_ms:.3f} ms -> "
+        f"{res['mrays']} Mrays/s (fixed {diag['fixed_ms']} ms/call, "
+        f"spread {diag['spread']})")
     report(res, False)
 
-    res["fwd_ms"] = round(_chain_fwd(rt, (scene, lights), iters), 3)
-    res["fwd_mrays"] = round(rays / res["fwd_ms"] / 1e3, 1)
+    fwd_ms, fdiag = _chain_fwd(rt, (scene, lights))
+    res["fwd_ms"] = round(fwd_ms, 3)
+    res["fwd_mrays"] = round(rays / fwd_ms / 1e3, 1)
+    res["pct_roof_meas"] = _roof_pct(fwd_ms, size)
     log(f"[bench] raytrace fwd-only: {res['fwd_ms']} ms -> "
-        f"{res['fwd_mrays']} Mrays/s")
+        f"{res['fwd_mrays']} Mrays/s ({res['pct_roof_meas']}% of "
+        "plane-test roof)")
     report(res, False)
 
     # --- hard rasterize fwd+bwd (BASELINE config 2) ---------------------
     rz = lambda s, l: rasterize(s, cam_rz, l, cfg)  # noqa: E731
-    rz_ms = _chain_train(rz, (scene, lights), iters)
+    rz_ms, _ = _chain_train(rz, (scene, lights))
     res["rasterize"] = {
         "train_ms": round(rz_ms, 3),
         "mrays": round(size * size / rz_ms / 1e3, 1),
     }
-    log(f"[bench] rasterize fwd+bwd: {rz_ms:.2f} ms -> "
+    log(f"[bench] rasterize fwd+bwd: {rz_ms:.3f} ms -> "
         f"{res['rasterize']['mrays']} Mrays/s")
     report(res, False)
 
@@ -222,25 +299,77 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
                             soft_edge_sharpness=40.0,
                             soft_z_sharpness=40.0, use_pallas=use_pallas)
     srt = lambda s, l: raytrace_soft(s, cam_rt, l, cfg_soft)  # noqa: E731
-    srt_ms = _chain_train(srt, (scene, lights), max(iters // 2, 5))
+    srt_ms, _ = _chain_train(srt, (scene, lights), n_lo=5, n_hi=25)
     res["soft_raytrace"] = {
         "train_ms": round(srt_ms, 3),
         "mrays": round(rays / srt_ms / 1e3, 1),
     }
-    log(f"[bench] soft raytrace fwd+bwd: {srt_ms:.2f} ms -> "
+    log(f"[bench] soft raytrace fwd+bwd: {srt_ms:.3f} ms -> "
         f"{res['soft_raytrace']['mrays']} Mrays/s")
     report(res, False)
 
     srz = lambda s, l: rasterize_soft(s, cam_rz, l, cfg_soft)  # noqa: E731
-    srz_ms = _chain_train(srz, (scene, lights), max(iters // 2, 5))
+    srz_ms, _ = _chain_train(srz, (scene, lights), n_lo=5, n_hi=25)
     res["soft_rasterize"] = {
         "train_ms": round(srz_ms, 3),
         "mrays": round(size * size / srz_ms / 1e3, 1),
     }
-    log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.2f} ms -> "
+    log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.3f} ms -> "
         f"{res['soft_rasterize']['mrays']} Mrays/s")
     report(res, True)
+
+    # --- STL scale: acceleration-structure headline (VERDICT r3 item 7):
+    # brute vs chunk-culled fused intersect at 9,216 triangles. Driver-
+    # recorded so the cull claim traces to an artifact, not a README.
+    try:
+        stl_row = _bench_stl_cull(size=size)
+        res["stl_intersect"] = stl_row
+        log(f"[bench] stl 9216-tri intersect: brute {stl_row['brute_ms']}"
+            f" ms, culled {stl_row['culled_ms']} ms "
+            f"({stl_row['speedup']}x)")
+    except Exception as e:  # noqa: BLE001 — STL row must never kill the run
+        log(f"[bench] stl row failed: {type(e).__name__}: {e}")
+    report(res, True)
     return res
+
+
+def _bench_stl_cull(size=512):
+    """Brute vs culled fused closest-hit at STL scale (enemy1.stl padded
+    to 9,216 tris), slope-timed forward sweeps."""
+    from raytpu.core.stl import load_reference_model
+    from raytpu.core.types import Camera, RenderConfig
+    from raytpu.kernels.intersect_pallas import (
+        intersect_pallas,
+        intersect_pallas_culled,
+    )
+    from raytpu.ops.intersect import tri_constants
+    from raytpu.render.raytrace import camera_ray_dirs, pixel_grid
+
+    import jax
+
+    scene = load_reference_model(pad_to=9216)
+    cam = Camera.rasterizer_default()
+    cfg = RenderConfig(width=size, height=size)
+    xs, ys = pixel_grid(cfg)
+    dirs = jax.block_until_ready(camera_ray_dirs(xs, ys, cam, cfg))
+    consts = tri_constants(scene, cam.pos)
+
+    def brute(d):
+        return intersect_pallas(d, consts)
+
+    def culled(d):
+        return intersect_pallas_culled(
+            d, consts, cam.pos, scene.v0, scene.v1, scene.v2,
+            image_hw=(size, size))
+
+    ms_b, _ = _chain_fwd(lambda d: brute(d).t, (dirs,), n_lo=3, n_hi=10)
+    ms_c, _ = _chain_fwd(lambda d: culled(d).t, (dirs,), n_lo=5, n_hi=25)
+    return {
+        "tris": scene.num_triangles,
+        "brute_ms": round(ms_b, 3),
+        "culled_ms": round(ms_c, 3),
+        "speedup": round(ms_b / ms_c, 2),
+    }
 
 
 def bench_cpu_oracle(size=128):

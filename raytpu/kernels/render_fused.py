@@ -1,0 +1,436 @@
+"""Fully-fused hard-visibility render kernel (VERDICT r3 item 1).
+
+The reference raytracer never leaves its pixel loop: intersect,
+DirectLight and composite happen per pixel in one pass
+(`raytracer/Source/raytracer.cpp:547-606` — intersect `:580`, DirectLight
+`:583`, composite `:584-588`). raytpu's round-1..3 hard path split a
+fused Pallas intersect kernel from XLA-side gathers/shading/compositing;
+the measured decomposition (bench/megakernel_lab3.py) puts the true
+kernel slope at 0.249 ms/frame vs a 0.53 ms full step — the remaining
+O(R) cost is XLA epilogue traffic (one-hot (R, T) gather buffers, ~15
+(R, 3) intermediates) and its backward. This kernel brings the whole
+step to the reference's shape, on-chip:
+
+  forward   grid (ray_tile,), ONE step per tile: primary closest-hit
+            sweep -> hit position -> shadow any-hit sweep toward the
+            light -> one-hot winner gather of (normal, albedo) ->
+            inverse-square Lambert shading -> composite + focal
+            distance. HBM traffic: dirs in, (color, fd, idx, occ) out.
+
+  backward  grid (ray_tile,), one step per tile: the winner index and
+            occlusion bit are piecewise-constant residuals; everything
+            else (t = k0_i / -(d.n_i), position, shading, compositing,
+            focal distance) is recomputed from gathered winner rows and
+            differentiated with ONE in-kernel jax.vjp — the same
+            single-launch resident-table accumulation pattern as
+            soft_raster_pallas (per-triangle cotangents accumulate into
+            a VMEM-resident (4C, 3) output block pinned at (0, 0);
+            per-ray d(dirs) writes per-tile blocks).
+
+Scope: the headline configuration — single active light, hard shadows,
+one sub-ray, single triangle chunk (T <= 128 after padding; bigger
+scenes take the streaming multi-source kernels in intersect_pallas).
+Shading formulations mirror ops/shade.direct_light + composite
+term-for-term (divides kept as divides, guards included) so the image
+matches the XLA clean path; t/idx/occ reuse _chunk_tuv and are
+bit-identical to closest_hit_occluded.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.kernels.intersect_pallas import (
+    _blocked_constants,
+    _chunk_tuv,
+    _interpret_mode,
+    _tight_chunk,
+)
+
+_F32MAX = 3.4028235e38
+
+
+def _shade_rows(dx, dy, dz, tz, hit, occ_b, n_rows, alb_rows, par_get, *,
+                ambient: float, parity: bool):
+    """Shading + composite + focal distance for one ray tile.
+
+    All args are (1, P) rows except par_get(r, c) -> (1, 1) scalars from
+    the params block. Mirrors ops/shade.direct_light (single light,
+    samples=1) -> ops/shade.composite -> render/raytrace fd, with the
+    light mask folded into p_eff (exact: mask is 0.0 or 1.0).
+    Returns [c0, c1, c2, fd] rows.
+    """
+    cam = [par_get(j, 0) for j in range(3)]
+    light = [par_get(3 + j, 0) for j in range(3)]
+    p_eff = [par_get(j, 1) for j in range(3)]
+    dof = par_get(0, 2)
+    d = [dx, dy, dz]
+
+    pos = [cam[j] + tz * d[j] for j in range(3)]
+    delta = [pos[j] - light[j] for j in range(3)]
+    # Same guards as direct_light: r = 0 (light exactly on the surface
+    # point) must not NaN forward or backward.
+    r2 = delta[0] * delta[0] + delta[1] * delta[1] + delta[2] * delta[2]
+    lit = r2 > 0.0
+    r = jnp.sqrt(jnp.where(lit, r2, 1.0))
+    A = (4.0 * math.pi) * (r * r)
+    r_dir = [-delta[j] / r for j in range(3)]
+    lam = jnp.maximum(
+        r_dir[0] * n_rows[0] + r_dir[1] * n_rows[1] + r_dir[2] * n_rows[2],
+        0.0,
+    )
+    D = [jnp.where(lit, (p_eff[j] / A) * lam, 0.0) for j in range(3)]
+    D = [jnp.where(occ_b, 0.0, D[j]) for j in range(3)]
+
+    amb = jnp.float32(ambient)
+    if parity:
+        # Double-albedo quirk (`raytracer.cpp:325,588`).
+        color = [alb_rows[j] * (D[j] * alb_rows[j] + amb) for j in range(3)]
+    else:
+        color = [alb_rows[j] * (D[j] + amb) for j in range(3)]
+    color = [jnp.where(hit, color[j], 0.0) for j in range(3)]
+
+    dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    fd = jnp.where(hit, tz * dn - dof, 0.0)
+    return color + [fd]
+
+
+def _fwd_kernel(dirs_ref, blkp_ref, blks_ref, attrs_ref, par_ref,
+                color_ref, fd_ref, idx_ref, occ_ref, *,
+                C: int, ambient: float, parity: bool):
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+
+    # Primary closest hit (bit-identical to closest_hit: same _chunk_tuv,
+    # same min + last-wins tie-break, `raytracer.cpp:243`).
+    t, ok = _chunk_tuv(blkp_ref, C, dx, dy, dz)
+    tm = jnp.where(ok, t, _F32MAX)
+    best_t = jnp.min(tm, axis=0, keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, tm.shape, dimension=0)
+    best_idx = jnp.max(
+        jnp.where(tm == best_t, rows, -1), axis=0, keepdims=True
+    )
+    hit = best_t < _F32MAX
+    idx_ref[:, :] = jnp.where(hit, best_idx, -1)
+    tz = jnp.where(hit, best_t, 0.0)
+
+    # Shadow any-hit toward the light (same op order as the XLA path:
+    # pos = cam + t*d, d2 = pos - light; t < 0.99 occludes,
+    # `raytracer.cpp:310-315`).
+    def par_get(r, c):
+        return par_ref[r : r + 1, c : c + 1]
+
+    d2 = [
+        (par_get(j, 0) + tz * dd) - par_get(3 + j, 0)
+        for j, dd in ((0, dx), (1, dy), (2, dz))
+    ]
+    ts, oks = _chunk_tuv(blks_ref, C, d2[0], d2[1], d2[2])
+    occ_any = jnp.max(
+        jnp.where(oks & (ts < 0.99), 1, 0), axis=0, keepdims=True
+    )
+    occ_ref[:, :] = occ_any
+    occ_b = occ_any > 0
+
+    # One-hot winner gather (exactly one row selected; adding zeros is
+    # exact, so this equals the XLA one-hot matmul gather bitwise).
+    win = (rows == best_idx) & hit
+    n_rows = [
+        jnp.sum(jnp.where(win, attrs_ref[0:C, j : j + 1], 0.0),
+                axis=0, keepdims=True)
+        for j in range(3)
+    ]
+    alb_rows = [
+        jnp.sum(jnp.where(win, attrs_ref[C : 2 * C, j : j + 1], 0.0),
+                axis=0, keepdims=True)
+        for j in range(3)
+    ]
+
+    out = _shade_rows(dx, dy, dz, tz, hit, occ_b, n_rows, alb_rows,
+                      par_get, ambient=ambient, parity=parity)
+    for j in range(3):
+        color_ref[j : j + 1, :] = out[j]
+    fd_ref[:, :] = out[3]
+
+
+def _bwd_kernel(dirs_ref, idx_ref, occ_ref, gc_ref, gfd_ref,
+                tab_ref, par_ref, gdirs_ref, gtab_ref, gpar_ref, *,
+                C: int, ambient: float, parity: bool):
+    """Single-launch backward: recompute-from-winner + one jax.vjp.
+
+    tab_ref: (4C, 3) rows [n | k0-in-col-0 | nrm | alb]; gtab_ref is the
+    same layout, VMEM-resident across the whole grid (index map pinned
+    at (0, 0)), accumulated per tile. The winner index and occlusion bit
+    are constants (piecewise-constant, zero gradient a.e. — same
+    argument as closest_hit's VJP).
+    """
+    i = pl.program_id(0)
+    dx = dirs_ref[0:1, :]
+    dy = dirs_ref[1:2, :]
+    dz = dirs_ref[2:3, :]
+    best_idx = idx_ref[:, :]
+    hit = best_idx >= 0
+    occ_b = occ_ref[:, :] > 0
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (C, best_idx.shape[1]), dimension=0
+    )
+    win = (rows == best_idx) & hit
+
+    def f(tab, par, dx, dy, dz):
+        def par_get(r, c):
+            return par[r : r + 1, c : c + 1]
+
+        def gather(r0, j):
+            return jnp.sum(
+                jnp.where(win, tab[r0 : r0 + C, j : j + 1], 0.0),
+                axis=0, keepdims=True,
+            )
+
+        n_i = [gather(0, j) for j in range(3)]
+        k0_i = gather(C, 0)
+        nrm_i = [gather(2 * C, j) for j in range(3)]
+        alb_i = [gather(3 * C, j) for j in range(3)]
+
+        # t = k0_i / -(d . n_i) — the closest_hit analytic VJP expressed
+        # as a recompute (identical formulation to _chunk_tuv, so the
+        # recomputed winner t is bit-equal to the forward's).
+        denom = -(dx * n_i[0] + dy * n_i[1] + dz * n_i[2])
+        safe = jnp.where(denom != 0.0, denom, 1.0)
+        tval = k0_i * (1.0 / safe)
+        tz = jnp.where(hit, tval, 0.0)
+
+        out = _shade_rows(dx, dy, dz, tz, hit, occ_b, nrm_i, alb_i,
+                          par_get, ambient=ambient, parity=parity)
+        return tuple(out)
+
+    _, vjp_fn = jax.vjp(f, tab_ref[:, :], par_ref[:, :], dx, dy, dz)
+    cots = (gc_ref[0:1, :], gc_ref[1:2, :], gc_ref[2:3, :], gfd_ref[:, :])
+    dtab, dpar, ddx, ddy, ddz = vjp_fn(cots)
+
+    @pl.when(i == 0)
+    def _():
+        gtab_ref[:, :] = jnp.zeros_like(gtab_ref[:, :])
+        gpar_ref[:, :] = jnp.zeros_like(gpar_ref[:, :])
+
+    gtab_ref[:, :] = gtab_ref[:, :] + dtab
+    gpar_ref[:, :] = gpar_ref[:, :] + dpar
+    gdirs_ref[0:1, :] = ddx
+    gdirs_ref[1:2, :] = ddy
+    gdirs_ref[2:3, :] = ddz
+
+
+def _params_block(cam_pos, light_pos, p_eff, dof_focus):
+    par = jnp.zeros((8, 128), jnp.float32)
+    par = par.at[0:3, 0].set(cam_pos)
+    par = par.at[3:6, 0].set(light_pos)
+    par = par.at[0:3, 1].set(p_eff)
+    par = par.at[0, 2].set(dof_focus)
+    return par
+
+
+def _pad_tri(a, C):
+    padn = C - a.shape[0]
+    if padn:
+        a = jnp.concatenate(
+            [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)], axis=0
+        )
+    return a
+
+
+def _fused_fwd_raw(dirs_t, m, k0, valid, m_l, k0_l, nrm, alb, par, *,
+                   tile_r: int, tri_chunk: int, ambient: float,
+                   parity: bool):
+    """dirs_t (3, Rp). Returns color (3, Rp), fd (1, Rp), idx, occ."""
+    Rp = dirs_t.shape[1]
+    T = m.shape[0]
+    C = _tight_chunk(T, tri_chunk)
+    if T > C:
+        raise ValueError(f"render_fused is single-chunk only (T={T} > {C})")
+    blk_p, _ = _blocked_constants(m, k0, valid, C)
+    blk_s, _ = _blocked_constants(m_l, k0_l, valid, C)
+    attrs = jnp.concatenate([_pad_tri(nrm, C), _pad_tri(alb, C)], axis=0)
+
+    kernel = functools.partial(_fwd_kernel, C=C, ambient=ambient,
+                               parity=parity)
+    color, fd, idx, occ = pl.pallas_call(
+        kernel,
+        grid=(Rp // tile_r,),
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(dirs_t, blk_p, blk_s, attrs, par)
+    return color, fd, idx, occ
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def render_hard_fused(dirs, m, k0, valid, m_l, k0_l, nrm, alb,
+                      cam_pos, light_pos, p_eff, dof_focus,
+                      tile_r=2048, tri_chunk=512, ambient=0.2,
+                      parity=False):
+    """Fully-fused hard render step.
+
+    Args:
+      dirs: (R, 3) unnormalized ray directions.
+      m, k0, valid: camera-origin tri_constants leaves ((T,3,3),(T,),(T,)).
+      m_l, k0_l: light-origin constants (shadow sweep).
+      nrm: (T, 3) shading normals (scene.normals()).
+      alb: (T, 3) albedo.
+      cam_pos, light_pos: (3,).
+      p_eff: (3,) mask * color * intensity of the single light.
+      dof_focus: () focal-plane distance.
+    Returns (color (R, 3), fd (R,)) — the composited image rows and the
+    focal-distance channel (t*|d| - dof_focus on hits, 0 on misses).
+    """
+    color, fd, _, _ = _call_fwd(
+        dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos, light_pos,
+        p_eff, dof_focus, tile_r, tri_chunk, ambient, parity,
+    )
+    return color, fd
+
+
+def _call_fwd(dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos,
+              light_pos, p_eff, dof_focus, tile_r, tri_chunk, ambient,
+              parity):
+    R = dirs.shape[0]
+    pad = (-R) % tile_r
+    dirs_t = dirs.T
+    if pad:
+        dirs_t = jnp.concatenate(
+            [dirs_t, jnp.ones((3, pad), dirs.dtype)], axis=1
+        )
+    par = _params_block(cam_pos, light_pos, p_eff, dof_focus)
+    color, fd, idx, occ = _fused_fwd_raw(
+        dirs_t, m, k0, valid, m_l, k0_l, nrm, alb, par,
+        tile_r=tile_r, tri_chunk=tri_chunk, ambient=ambient, parity=parity,
+    )
+    return color[:, :R].T, fd[0, :R], idx, occ
+
+
+def _rhf_fwd(dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos, light_pos,
+             p_eff, dof_focus, tile_r, tri_chunk, ambient, parity):
+    color, fd, idx, occ = _call_fwd(
+        dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos, light_pos,
+        p_eff, dof_focus, tile_r, tri_chunk, ambient, parity,
+    )
+    res = (dirs, m, k0, nrm, alb, cam_pos, light_pos, p_eff, dof_focus,
+           idx, occ)
+    return (color, fd), res
+
+
+def _rhf_bwd(tile_r, tri_chunk, ambient, parity, res, cots):
+    (dirs, m, k0, nrm, alb, cam_pos, light_pos, p_eff, dof_focus,
+     idx, occ) = res
+    g_color, g_fd = cots
+    R = dirs.shape[0]
+    Rp = idx.shape[1]
+    T = m.shape[0]
+    C = _tight_chunk(T, tri_chunk)
+
+    def padr(a):  # (k, R) -> (k, Rp); padded-lane cotangents are zero
+        if Rp > a.shape[1]:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], Rp - a.shape[1]), a.dtype)],
+                axis=1,
+            )
+        return a
+
+    dirs_t = dirs.T
+    if Rp > R:
+        dirs_t = jnp.concatenate(
+            [dirs_t, jnp.ones((3, Rp - R), dirs.dtype)], axis=1
+        )
+    gc = padr(g_color.T)
+    gfd = padr(g_fd[None, :])
+
+    k0_rows = jnp.stack(
+        [k0, jnp.zeros_like(k0), jnp.zeros_like(k0)], axis=1
+    )
+    tab = jnp.concatenate(
+        [_pad_tri(m[:, 0], C), _pad_tri(k0_rows, C),
+         _pad_tri(nrm, C), _pad_tri(alb, C)], axis=0,
+    )
+    par = _params_block(cam_pos, light_pos, p_eff, dof_focus)
+
+    kernel = functools.partial(_bwd_kernel, C=C, ambient=ambient,
+                               parity=parity)
+    gdirs, gtab, gpar = pl.pallas_call(
+        kernel,
+        grid=(Rp // tile_r,),
+        in_specs=[
+            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((4 * C, 3), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(dirs_t, idx, occ, gc, gfd, tab, par)
+
+    g_dirs = gdirs[:, :R].T
+    g_m = jnp.zeros_like(m).at[:, 0].set(gtab[0:C, :][:T])
+    g_k0 = gtab[C : 2 * C, 0][:T]
+    g_nrm = gtab[2 * C : 3 * C, :][:T]
+    g_alb = gtab[3 * C : 4 * C, :][:T]
+    g_cam = gpar[0:3, 0]
+    g_light = gpar[3:6, 0]
+    g_p_eff = gpar[0:3, 1]
+    g_dof = gpar[0, 2]
+    return (g_dirs, g_m, g_k0, None, None, None, g_nrm, g_alb,
+            g_cam, g_light, g_p_eff, g_dof)
+
+
+render_hard_fused.defvjp(_rhf_fwd, _rhf_bwd)

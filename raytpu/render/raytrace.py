@@ -115,6 +115,37 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     # (kernels.cull): route single-light through the multi-source kernel
     # (S=1), which carries the phase mask — results stay bit-identical.
     big_scene = scene.num_triangles > 128
+    # Fully-fused megakernel (headline config): ray shading, shadow test,
+    # winner gather, compositing and the focal-distance channel all in
+    # ONE Pallas launch fwd and one bwd (kernels/render_fused.py) — the
+    # reference's never-leave-the-pixel-loop shape
+    # (`raytracer.cpp:547-606`) on-chip. Conditions: one light, hard
+    # shadows, one sub-ray, single triangle chunk.
+    if (
+        cfg.pallas_enabled
+        and lights.capacity == 1
+        and cfg.soft_shadow_samples == 1
+        and n_sub == 1
+        and not big_scene
+        and cfg.mode in ("clean", "parity")
+    ):
+        from raytpu.kernels.render_fused import render_hard_fused
+
+        dirs = camera_ray_dirs(xs, ys, camera, cfg)
+        consts_light = tri_constants(scene, lights.position[0])
+        p_eff = lights.mask[0] * (lights.color[0] * lights.intensity[0])
+        color, fd_flat = render_hard_fused(
+            dirs, consts.m, consts.k0, consts.valid,
+            consts_light.m, consts_light.k0,
+            scene.normals(), scene.color,
+            camera.pos, lights.position[0], p_eff, camera.dof_focus,
+            2048, cfg.tri_chunk, cfg.ambient, cfg.mode == "parity",
+        )
+        img = color.reshape(cfg.height, cfg.width, 3)
+        fd = fd_flat.reshape(cfg.height, cfg.width)
+        out = dof_apply(img, fd, cfg)
+        return RenderOut(image=out, focal_distances=fd)
+
     fused = (
         cfg.pallas_enabled
         and lights.capacity == 1

@@ -212,7 +212,14 @@ def test_full_render_image_identical():
         scene, cam, lights,
         RenderConfig(width=32, height=32, use_pallas=True),
     ).image
-    np.testing.assert_array_equal(np.asarray(img_j), np.asarray(img_p))
+    # Round 4: the headline path is the fully-fused megakernel
+    # (kernels/render_fused.py) whose SHADING runs in-kernel — the image
+    # matches the XLA path to fp reassociation (~1 ulp), while the
+    # winner/occlusion bits stay BIT-exact (tests/test_render_fused.py
+    # pins that; it is the part that catches miscompiles).
+    np.testing.assert_allclose(
+        np.asarray(img_j), np.asarray(img_p), atol=5e-7
+    )
 
 
 def test_parity_aa_fused_matches_unfused():
