@@ -368,6 +368,14 @@ class RenderConfig:
     # None = auto: fused Pallas kernels on TPU, jnp elsewhere (Pallas runs
     # interpreted off-TPU — correct but slow, so tests opt in explicitly).
     use_pallas: bool | None = None
+    # Route the headline config through the single-launch megakernel
+    # (kernels/render_fused.py). Implemented for VERDICT r3 item 1 and
+    # MEASURED SLOWER than the split design (fwd 0.31 vs 0.23 ms at
+    # 512^2: per-ray shading on (1, tile) rows is latency-bound in
+    # Mosaic, while the XLA epilogue runs at (R,)-array ILP with MXU
+    # one-hot gathers — bench/megakernel_lab4.py). Kept as an option;
+    # off by default.
+    megakernel: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -115,14 +115,17 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     # (kernels.cull): route single-light through the multi-source kernel
     # (S=1), which carries the phase mask — results stay bit-identical.
     big_scene = scene.num_triangles > 128
-    # Fully-fused megakernel (headline config): ray shading, shadow test,
-    # winner gather, compositing and the focal-distance channel all in
-    # ONE Pallas launch fwd and one bwd (kernels/render_fused.py) — the
-    # reference's never-leave-the-pixel-loop shape
-    # (`raytracer.cpp:547-606`) on-chip. Conditions: one light, hard
-    # shadows, one sub-ray, single triangle chunk.
+    # Fully-fused megakernel: ray shading, shadow test, winner gather,
+    # compositing and the focal-distance channel all in ONE Pallas launch
+    # fwd and one bwd (kernels/render_fused.py) — the reference's
+    # never-leave-the-pixel-loop shape (`raytracer.cpp:547-606`) on-chip.
+    # OFF by default: measured SLOWER than the split kernel + XLA
+    # epilogue (see RenderConfig.megakernel and
+    # bench/megakernel_lab4.py); conditions: one light, hard shadows,
+    # one sub-ray, single triangle chunk.
     if (
-        cfg.pallas_enabled
+        cfg.megakernel
+        and cfg.pallas_enabled
         and lights.capacity == 1
         and cfg.soft_shadow_samples == 1
         and n_sub == 1

@@ -30,10 +30,12 @@ def setup():
 @pytest.mark.parametrize("mode", ["clean", "parity"])
 def test_image_matches_xla(setup, mode):
     scene, lights, cam = setup
-    cfg = RenderConfig(width=32, height=32, mode=mode, use_pallas=True)
+    cfg = RenderConfig(width=32, height=32, mode=mode, use_pallas=True,
+                       megakernel=True)
     out_m = raytrace_full(scene, cam, lights, cfg)
     out_x = raytrace_full(
-        scene, cam, lights, dataclasses.replace(cfg, use_pallas=False)
+        scene, cam, lights,
+        dataclasses.replace(cfg, use_pallas=False, megakernel=False),
     )
     np.testing.assert_allclose(
         np.asarray(out_m.image), np.asarray(out_x.image), atol=1e-6
@@ -81,8 +83,9 @@ def test_idx_occ_bit_exact_vs_two_phase(setup):
 
 def test_grads_match_xla(setup):
     scene, lights, cam = setup
-    cfg_m = RenderConfig(width=16, height=16, mode="clean", use_pallas=True)
-    cfg_x = dataclasses.replace(cfg_m, use_pallas=False)
+    cfg_m = RenderConfig(width=16, height=16, mode="clean", use_pallas=True,
+                         megakernel=True)
+    cfg_x = dataclasses.replace(cfg_m, use_pallas=False, megakernel=False)
 
     def loss(s, c, l, cfg):
         out = raytrace_full(s, c, l, cfg)
