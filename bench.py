@@ -23,6 +23,7 @@ The JSON line also records (VERDICT round-1 item 4 — honest accounting):
   pct_roof_meas      forward slope vs the MEASURED plane-tests-only roof
                      (bench/roofline.py sustained rate; bench/ROOFLINE.md)
   stl_intersect      9,216-tri brute vs chunk-culled forward sweep
+  soft_stl           9,216-tri soft-raster fwd+bwd, culled vs brute
   timing/spread      raw batch times + relative spread (stall guard)
 
 Robustness (VERDICT round-2 item 1 — the round-2 driver run timed out with
@@ -318,6 +319,19 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
         f"{res['soft_rasterize']['mrays']} Mrays/s")
     report(res, True)
 
+    # --- soft at STL scale (VERDICT r3 item 3): 9,216-tri soft raster
+    # fwd+bwd through the fused kernel, chunk-CULLED vs brute.
+    try:
+        soft_stl = _bench_soft_stl(size=size, use_pallas=use_pallas)
+        res["soft_stl"] = soft_stl
+        log(f"[bench] soft stl 9216-tri fwd+bwd: culled "
+            f"{soft_stl['train_culled_ms']} ms, brute "
+            f"{soft_stl['train_brute_ms']} ms "
+            f"({soft_stl['speedup']}x)")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] soft stl row failed: {type(e).__name__}: {e}")
+    report(res, True)
+
     # --- STL scale: acceleration-structure headline (VERDICT r3 item 7):
     # brute vs chunk-culled fused intersect at 9,216 triangles. Driver-
     # recorded so the cull claim traces to an artifact, not a README.
@@ -331,6 +345,36 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
         log(f"[bench] stl row failed: {type(e).__name__}: {e}")
     report(res, True)
     return res
+
+
+def _bench_soft_stl(size=512, use_pallas=None):
+    """Soft (differentiable) rasterize fwd+bwd at STL scale, chunk-culled
+    vs brute (kernels/soft_raster_pallas soft_keep_mask)."""
+    from raytpu.core.stl import load_reference_model
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.kernels.soft_raster_pallas import rasterize_soft_pallas
+
+    scene = load_reference_model(pad_to=9216)
+    cam = Camera.rasterizer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=size, height=size, mode="soft",
+                       soft_edge_sharpness=40.0, soft_z_sharpness=40.0,
+                       use_pallas=use_pallas)
+
+    def culled(s, l):
+        return rasterize_soft_pallas(s, cam, l, cfg, cull=True)
+
+    def brute(s, l):
+        return rasterize_soft_pallas(s, cam, l, cfg, cull=False)
+
+    ms_c, _ = _chain_train(culled, (scene, lights), n_lo=3, n_hi=10)
+    ms_b, _ = _chain_train(brute, (scene, lights), n_lo=2, n_hi=5)
+    return {
+        "tris": scene.num_triangles,
+        "train_culled_ms": round(ms_c, 3),
+        "train_brute_ms": round(ms_b, 3),
+        "speedup": round(ms_b / ms_c, 2),
+    }
 
 
 def _bench_stl_cull(size=512):
@@ -457,7 +501,7 @@ def main():
     ap.add_argument("--progressive", action="store_true",
                     help="print a JSON line after every completed metric "
                          "(child mode; the parent takes the last line)")
-    ap.add_argument("--pallas-timeout", type=float, default=300.0,
+    ap.add_argument("--pallas-timeout", type=float, default=450.0,
                     help="seconds allowed for the Pallas-path child")
     ap.add_argument("--xla-timeout", type=float, default=240.0,
                     help="seconds allowed for the XLA fallback child")

@@ -9,10 +9,13 @@ HBM each scan step, and the backward pass re-reads every residual —
 online-softmax aggregation in VMEM:
 
   forward   grid (pixel_tile, tri_chunk), chunk fastest; running
-            (m, s, acc_rgb) carry in VMEM scratch; per step the chunk's
-            logits and shaded colors are computed in-register from a
-            per-triangle constants table. Outputs img (3, R) plus the
-            (m, s) softmax residuals.
+            (m, s, acc[10]) carry in VMEM scratch; per step the chunk's
+            depth logits, compact-support coverages and attribute
+            channels (albedo, pos3d numerator, zinv, normal — round-4
+            relaxation, render.soft module docstring) are computed
+            in-register from a per-triangle constants table. Outputs
+            agg (10, R) plus the (m, s) softmax residuals; per-pixel
+            shading happens on the aggregate OUTSIDE the kernel.
 
   backward  grid (tri_chunk, pixel_tile), tile fastest; recomputes the
             chunk terms at the saved (m, s) and applies jax.vjp of the
@@ -45,6 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CONST_COLS = 32
+
+# Number of aggregated channels: [albedo rgb, pos3d-numerator xyz, zinv,
+# normal xyz] (render.soft round-4 relaxation).
+_N_CH = 10
+
 
 
 def soft_tri_constants(sx, sy, zinv, pos3d, color, normal, keep):
@@ -209,63 +217,29 @@ def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
     l2c = l2c * lrec
 
     zpx = l0c * col(10) + l1c * col(11) + l2c * col(12)
-    # Full-logit formulation, same as the jnp path. (A cheaper variant
-    # that max-shifts only the zs*zpx term and multiplies
-    # sigmoid(es*sdist) outside the exp NaNs at extreme sharpness: when
-    # the winning hypothesis's coverage sigmoid underflows to 0 and the
-    # background weight exp(0 - m) underflows too, the denominator hits
-    # exactly 0. Tracking the max of the FULL logit guarantees the
-    # maximal hypothesis always contributes weight 1. The saving was
-    # ~3% — not worth the failure mode.)
+    # Round-4 relaxation (render.soft module docstring): hypotheses
+    # aggregate ATTRIBUTES — albedo, the pos3d-numerator (pre-division:
+    # zrec moves to the per-pixel epilogue), zinv and the normal;
+    # shading happens once per pixel outside the kernel.
     logit = (
         zs * zpx
         + jax.nn.log_sigmoid(es * sdist)
         + jnp.log(col(28) + 1e-20)
     )
-
-    # World position: (ppx / zpx) @ inv_rot + campos (`rasteriser.cpp:557`).
-    zrec = 1.0 / jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
-    p = [
-        (l0c * col(13 + j) + l1c * col(16 + j) + l2c * col(19 + j)) * zrec
+    pnum = [
+        l0c * col(13 + j) + l1c * col(16 + j) + l2c * col(19 + j)
         for j in range(3)
     ]
-    w = [
-        p[0] * g(0 + j) + p[1] * g(3 + j) + p[2] * g(6 + j) + g(9 + j)
-        for j in range(3)
-    ]
-
-    n0, n1, n2 = col(25), col(26), col(27)
-    irr = [jnp.zeros_like(e0) for _ in range(3)]
-    for k in range(capacity):
-        lk = lt[k:k + 1, :]
-        d = [w[j] - lk[:, j:j + 1] for j in range(3)]
-        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-        lit = r2 > 0.0
-        r2s = jnp.where(lit, r2, 1.0)
-        rrec = jax.lax.rsqrt(r2s)
-        lam = jnp.maximum(-(d[0] * n0 + d[1] * n1 + d[2] * n2) * rrec, 0.0)
-        # base = mask * intensity * lam / (4 pi r^2), zeroed where r == 0.
-        # 1/r^2 as rrec^2 (already computed) — a VPU divide per pair is
-        # ~8 slots; the (1, 1) light-constant product folds per chunk.
-        base = jnp.where(
-            lit,
-            (lk[:, 7:8] * lk[:, 6:7] * jnp.float32(0.25 / math.pi))
-            * lam * (rrec * rrec),
-            0.0,
-        )
-        for j in range(3):
-            irr[j] = irr[j] + base * lk[:, 3 + j:4 + j]
-
-    amb = jnp.float32(ambient)
-    sh0 = col(22) * (irr[0] + amb)
-    sh1 = col(23) * (irr[1] + amb)
-    sh2 = col(24) * (irr[2] + amb)
-    return logit, sh0, sh1, sh2
+    vals = [jnp.broadcast_to(col(22 + j), logit.shape) for j in range(3)]
+    vals += pnum
+    vals += [zpx]
+    vals += [jnp.broadcast_to(col(25 + j), logit.shape) for j in range(3)]
+    return logit, vals
 
 
 def _fwd_kernel(px_ref, consts_ref, glob_ref, lights_ref,
                 img_ref, m_ref, s_ref,
-                m_s, s_s, a0_s, a1_s, a2_s, *,
+                m_s, s_s, *acc_s,
                 es, zs, ambient, capacity):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -274,15 +248,14 @@ def _fwd_kernel(px_ref, consts_ref, glob_ref, lights_ref,
 
     @pl.when(c == 0)
     def _():
-        # Background hypothesis: logit 0 at zinv = 0, black color
+        # Background hypothesis: logit 0 at zinv = 0, zero attributes
         # (`rasteriser.cpp:188` cleared depth buffer).
         m_s[:, :] = jnp.zeros_like(m_s[:, :])
         s_s[:, :] = jnp.ones_like(s_s[:, :])
-        a0_s[:, :] = jnp.zeros_like(a0_s[:, :])
-        a1_s[:, :] = jnp.zeros_like(a1_s[:, :])
-        a2_s[:, :] = jnp.zeros_like(a2_s[:, :])
+        for a in acc_s:
+            a[:, :] = jnp.zeros_like(a[:, :])
 
-    logit, sh0, sh1, sh2 = _chunk_terms(
+    logit, vals = _chunk_terms(
         consts_ref[:, :], glob_ref[:, :], lights_ref[:, :], px, py,
         es=es, zs=zs, ambient=ambient, capacity=capacity,
     )
@@ -292,16 +265,15 @@ def _fwd_kernel(px_ref, consts_ref, glob_ref, lights_ref,
     w = jnp.exp(logit - m_new)
     m_s[:, :] = m_new
     s_s[:, :] = s_s[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
-    a0_s[:, :] = a0_s[:, :] * scale + jnp.sum(w * sh0, axis=0, keepdims=True)
-    a1_s[:, :] = a1_s[:, :] * scale + jnp.sum(w * sh1, axis=0, keepdims=True)
-    a2_s[:, :] = a2_s[:, :] * scale + jnp.sum(w * sh2, axis=0, keepdims=True)
+    for j, a in enumerate(acc_s):
+        a[:, :] = a[:, :] * scale + jnp.sum(w * vals[j], axis=0,
+                                            keepdims=True)
 
     @pl.when(c == n_chunks - 1)
     def _():
         rec = 1.0 / s_s[:, :]
-        img_ref[0:1, :] = a0_s[:, :] * rec
-        img_ref[1:2, :] = a1_s[:, :] * rec
-        img_ref[2:3, :] = a2_s[:, :] * rec
+        for j, a in enumerate(acc_s):
+            img_ref[j:j + 1, :] = a[:, :] * rec
         m_ref[:, :] = m_s[:, :]
         s_ref[:, :] = s_s[:, :]
 
@@ -316,32 +288,30 @@ def _bwd_kernel(px_ref, m_ref, cot_ref,
     py = px_ref[1:2, :]
     m = m_ref[:, :]
 
-    # Cotangent rows [d s, d acc_0..2] are precombined OUTSIDE the kernel
-    # (tiny (4, R) elementwise jnp) — keeps the kernel agnostic to
+    # Cotangent rows [d s, d acc_0..9] are precombined OUTSIDE the kernel
+    # (tiny (11, R) elementwise jnp) — keeps the kernel agnostic to
     # whether the caller differentiates img alone (_soft_agg) or
     # (img, m, s) (_soft_agg_stats, sharded-combine path).
     ds = cot_ref[0:1, :]
-    da = [cot_ref[j + 1:j + 2, :] for j in range(3)]
+    da = [cot_ref[j + 1:j + 2, :] for j in range(_N_CH)]
 
     def f(cs, gl, lt):
-        logit, sh0, sh1, sh2 = _chunk_terms(
+        logit, vals = _chunk_terms(
             cs, gl, lt, px, py,
             es=es, zs=zs, ambient=ambient, capacity=capacity,
         )
         # m is the saved global row max — constant here (dL/dm == 0
         # analytically; see module docstring).
         w = jnp.exp(logit - m)
-        return (
-            jnp.sum(w, axis=0, keepdims=True),
-            jnp.sum(w * sh0, axis=0, keepdims=True),
-            jnp.sum(w * sh1, axis=0, keepdims=True),
-            jnp.sum(w * sh2, axis=0, keepdims=True),
-        )
+        outs = [jnp.sum(w, axis=0, keepdims=True)]
+        outs += [jnp.sum(w * vals[j], axis=0, keepdims=True)
+                 for j in range(_N_CH)]
+        return tuple(outs)
 
     _, vjp_fn = jax.vjp(
         f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :]
     )
-    dcs, dgl, dlt = vjp_fn((ds, da[0], da[1], da[2]))
+    dcs, dgl, dlt = vjp_fn(tuple([ds] + da))
 
     @pl.when(t == 0)
     def _():
@@ -366,7 +336,7 @@ def _bwd_kernel(px_ref, m_ref, cot_ref,
 
 def _fwd_kernel_masked(mask_ref, px_ref, consts_ref, glob_ref, lights_ref,
                        img_ref, m_ref, s_ref,
-                       m_s, s_s, a0_s, a1_s, a2_s, *,
+                       m_s, s_s, *acc_s,
                        es, zs, ambient, capacity):
     """Chunk-culled _fwd_kernel: the per-chunk math runs under
     pl.when(keep); carries, init and the final normalize stay
@@ -381,15 +351,14 @@ def _fwd_kernel_masked(mask_ref, px_ref, consts_ref, glob_ref, lights_ref,
     def _():
         m_s[:, :] = jnp.zeros_like(m_s[:, :])
         s_s[:, :] = jnp.ones_like(s_s[:, :])
-        a0_s[:, :] = jnp.zeros_like(a0_s[:, :])
-        a1_s[:, :] = jnp.zeros_like(a1_s[:, :])
-        a2_s[:, :] = jnp.zeros_like(a2_s[:, :])
+        for a in acc_s:
+            a[:, :] = jnp.zeros_like(a[:, :])
 
     @pl.when(keep)
     def _():
         px = px_ref[0:1, :]
         py = px_ref[1:2, :]
-        logit, sh0, sh1, sh2 = _chunk_terms(
+        logit, vals = _chunk_terms(
             consts_ref[:, :], glob_ref[:, :], lights_ref[:, :], px, py,
             es=es, zs=zs, ambient=ambient, capacity=capacity,
         )
@@ -399,19 +368,15 @@ def _fwd_kernel_masked(mask_ref, px_ref, consts_ref, glob_ref, lights_ref,
         w = jnp.exp(logit - m_new)
         m_s[:, :] = m_new
         s_s[:, :] = s_s[:, :] * scale + jnp.sum(w, axis=0, keepdims=True)
-        a0_s[:, :] = a0_s[:, :] * scale + jnp.sum(w * sh0, axis=0,
-                                                  keepdims=True)
-        a1_s[:, :] = a1_s[:, :] * scale + jnp.sum(w * sh1, axis=0,
-                                                  keepdims=True)
-        a2_s[:, :] = a2_s[:, :] * scale + jnp.sum(w * sh2, axis=0,
-                                                  keepdims=True)
+        for j, a in enumerate(acc_s):
+            a[:, :] = a[:, :] * scale + jnp.sum(w * vals[j], axis=0,
+                                                keepdims=True)
 
     @pl.when(c == n_chunks - 1)
     def _():
         rec = 1.0 / s_s[:, :]
-        img_ref[0:1, :] = a0_s[:, :] * rec
-        img_ref[1:2, :] = a1_s[:, :] * rec
-        img_ref[2:3, :] = a2_s[:, :] * rec
+        for j, a in enumerate(acc_s):
+            img_ref[j:j + 1, :] = a[:, :] * rec
         m_ref[:, :] = m_s[:, :]
         s_ref[:, :] = s_s[:, :]
 
@@ -445,25 +410,23 @@ def _bwd_kernel_masked(mask_ref, px_ref, m_ref, cot_ref,
         py = px_ref[1:2, :]
         m = m_ref[:, :]
         ds = cot_ref[0:1, :]
-        da = [cot_ref[j + 1:j + 2, :] for j in range(3)]
+        da = [cot_ref[j + 1:j + 2, :] for j in range(_N_CH)]
 
         def f(cs, gl, lt):
-            logit, sh0, sh1, sh2 = _chunk_terms(
+            logit, vals = _chunk_terms(
                 cs, gl, lt, px, py,
                 es=es, zs=zs, ambient=ambient, capacity=capacity,
             )
             w = jnp.exp(logit - m)
-            return (
-                jnp.sum(w, axis=0, keepdims=True),
-                jnp.sum(w * sh0, axis=0, keepdims=True),
-                jnp.sum(w * sh1, axis=0, keepdims=True),
-                jnp.sum(w * sh2, axis=0, keepdims=True),
-            )
+            outs = [jnp.sum(w, axis=0, keepdims=True)]
+            outs += [jnp.sum(w * vals[j], axis=0, keepdims=True)
+                     for j in range(_N_CH)]
+            return tuple(outs)
 
         _, vjp_fn = jax.vjp(
             f, consts_ref[:, :], glob_ref[:, :], lights_ref[:, :]
         )
-        dcs, dgl, dlt = vjp_fn((ds, da[0], da[1], da[2]))
+        dcs, dgl, dlt = vjp_fn(tuple([ds] + da))
         dc_ref[:, :] = dc_ref[:, :] + dcs
         dg_ref[:, :] = dg_ref[:, :] + dgl
         dl_ref[:, :] = dl_ref[:, :] + dlt
@@ -559,7 +522,9 @@ def soft_keep_mask(coords: jax.Array, consts: jax.Array,
                    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _soft_agg(consts, glob, lights_tab, coords, mask,
               es, zs, ambient, capacity, tile_p, chunk, interpret=None):
-    """img (3, Rp) = soft-z aggregation. coords: (2, Rp) pixel x, y;
+    """agg (_N_CH, Rp) = soft-z attribute aggregation
+    ([albedo rgb, pos3d-numerator xyz, zinv, normal xyz]; shading happens
+    on the aggregate outside). coords: (2, Rp) pixel x, y;
     consts (Tp, 32) with Tp % chunk == 0, Rp % tile_p == 0.
     mask: None, or a float32 (n_tiles, n_chunks) conservative keep mask
     (soft_keep_mask) — culled (tile, chunk) steps are skipped in forward
@@ -580,11 +545,12 @@ def _soft_agg_fwd_impl(consts, glob, lights_tab, coords, mask,
     L = lights_tab.shape[0]
     interp = _interpret() if interpret is None else interpret
     out_shape = [
-        jax.ShapeDtypeStruct((3, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((_N_CH, Rp), jnp.float32),
         jax.ShapeDtypeStruct((1, Rp), jnp.float32),
         jax.ShapeDtypeStruct((1, Rp), jnp.float32),
     ]
-    scratch = [pltpu.VMEM((1, tile_p), jnp.float32) for _ in range(5)]
+    scratch = [pltpu.VMEM((1, tile_p), jnp.float32)
+               for _ in range(2 + _N_CH)]
     if mask is None:
         kernel = functools.partial(
             _fwd_kernel, es=es, zs=zs, ambient=ambient, capacity=capacity,
@@ -603,7 +569,7 @@ def _soft_agg_fwd_impl(consts, glob, lights_tab, coords, mask,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((3, tile_p), lambda i, c: (0, i),
+                pl.BlockSpec((_N_CH, tile_p), lambda i, c: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_p), lambda i, c: (0, i),
                              memory_space=pltpu.VMEM),
@@ -634,7 +600,7 @@ def _soft_agg_fwd_impl(consts, glob, lights_tab, coords, mask,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, tile_p), lambda i, c, m_: (0, i),
+            pl.BlockSpec((_N_CH, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p), lambda i, c, m_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -688,7 +654,7 @@ def _bwd_impl(consts, glob, lights_tab, coords, mask, m, cot,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_p), lambda c, i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, tile_p), lambda c, i: (0, i),
+                pl.BlockSpec((1 + _N_CH, tile_p), lambda c, i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunk, _CONST_COLS), lambda c, i: (c, 0),
                              memory_space=pltpu.VMEM),
@@ -722,7 +688,7 @@ def _bwd_impl(consts, glob, lights_tab, coords, mask, m, cot,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_p), lambda c, i, m_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_p), lambda c, i, m_: (0, i),
+            pl.BlockSpec((1 + _N_CH, tile_p), lambda c, i, m_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, _CONST_COLS), lambda c, i, m_: (c, 0),
                          memory_space=pltpu.VMEM),
@@ -900,11 +866,17 @@ def rasterize_soft_pallas(scene, camera, lights, cfg,
             jax.lax.stop_gradient(coords),
             jax.lax.stop_gradient(consts), es, zs, tile_p, chunk)
 
-    img = _soft_agg(
+    agg = _soft_agg(
         consts, glob, lt, coords, mask,
         es, zs, float(cfg.ambient), lights.capacity, tile_p, chunk,
     )
-    img = img[:, :R].T  # (R, 3)
+    agg = agg[:, :R].T  # (R, _N_CH)
     if use_cull:
-        img = _unswizzle(img, H, W, blk[0], blk[1])
+        agg = _unswizzle(agg, H, W, blk[0], blk[1])
+
+    from raytpu.render.soft import shade_agg_raster
+
+    img = shade_agg_raster(agg[:, 0:3], agg[:, 3:6], agg[:, 6],
+                           agg[:, 7:10], camera, lights,
+                           float(cfg.ambient))
     return img.reshape(H, W, 3)

@@ -61,6 +61,9 @@ _PRI_COLS = 32
 _SHW_COLS = 16
 _BIG = 3.4028235e38
 
+# Keep in sync with render.soft._OD_SCALE (shadow transmittance scale).
+_OD_SCALE = 16.0
+
 # Above this many 16-column triangle rows (scaled for wider tables) the
 # whole-resident dc output of the fused single-launch backward would
 # crowd VMEM (16 MB/core, minus streamed blocks and double buffering);
@@ -163,9 +166,14 @@ def _irr_cols(w, n_cols, lt, capacity):
 
 def _primary_terms(cs, gl, lt, dx, dy, dz, *, es, zs, ambient, capacity,
                    t_far):
-    """Per-(triangle, ray) logit + 9 value channels for one chunk.
-    cs: (C, 32); gl: (1, 16) = [start xyz, ...]; lt: (L, 8);
-    dx/dy/dz: (1, P) ray directions. Returns (logit, vals[9])."""
+    """Per-(triangle, ray) depth logit, coverage + 9 attribute channels
+    for one chunk (round-4 relaxation, render.soft module docstring).
+    cs: (C, 32); gl: (1, 16) = [start xyz, ...]; lt: (L, 8) (unused —
+    kept for table-shape compatibility; shading now happens on the
+    aggregate OUTSIDE the kernel); dx/dy/dz: (1, P) ray directions.
+    Returns (logit, vals[9] = [albedo rgb, pos xyz, normal xyz]).
+    """
+    del lt, ambient, capacity
 
     def col(j):
         return cs[:, j:j + 1]
@@ -182,24 +190,23 @@ def _primary_terms(cs, gl, lt, dx, dy, dz, *, es, zs, ambient, capacity,
     margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
 
     hit_ok = t > 1e-6
-    # jnp path: t_pos = where(t > 1e-6, t, inf); min(t_pos, t_far).
-    tcl = jnp.where(hit_ok, jnp.minimum(t, t_far), t_far)
+    # Metric depth (t is in unnormalized-|d| units; see render.soft).
+    dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dist = t * dn
     logit = (
-        -zs * tcl
+        -zs * jnp.minimum(jnp.where(hit_ok, dist, t_far), t_far)
         + jax.nn.log_sigmoid(es * margin)
         + jnp.log(col(16) + 1e-20)
     )
+    # Hard-gate behind-camera plane hits (render.soft.raytrace_soft).
+    logit = jnp.where(hit_ok, logit, -1e30)
 
-    # pos = start + where(isfinite(t_pos), t_pos, 0) * d.
     tp = jnp.where(hit_ok & (t < _BIG), t, 0.0)
     pos = [g(j) + tp * dd for j, dd in ((0, dx), (1, dy), (2, dz))]
 
-    irr = _irr_cols(pos, [col(10), col(11), col(12)], lt, capacity)
-    amb = jnp.float32(ambient)
-    vals = [col(13 + j) * (irr[j] + amb) for j in range(3)]
-    vals += [jnp.broadcast_to(col(13 + j) * amb, vals[0].shape)
-             for j in range(3)]
+    vals = [jnp.broadcast_to(col(13 + j), logit.shape) for j in range(3)]
     vals += pos
+    vals += [jnp.broadcast_to(col(10 + j), logit.shape) for j in range(3)]
     return logit, vals
 
 
@@ -637,10 +644,10 @@ _primary_agg_stats.defvjp(_primary_stats_fwd, _primary_stats_bwd)
 # Shadow kernel
 # ---------------------------------------------------------------------------
 
-def _shadow_logterms(cs, sr, wx, wy, wz, *, es, zs):
-    """Sum over the chunk's triangles of log(1 - occ + 1e-20) for one
-    source. cs: (C, 16); sr: (1, 8) source row; wx/wy/wz: (1, P) world
-    points. Mirrors render.soft._soft_shadow_factor's body."""
+def _shadow_od_terms(cs, sr, wx, wy, wz, *, es, zs):
+    """Optical-depth sum over the chunk's triangles for one source.
+    cs: (C, 16); sr: (1, 8) source row; wx/wy/wz: (1, P) world points.
+    Mirrors render.soft._soft_shadow_factor's body."""
 
     def col(j):
         return cs[:, j:j + 1]
@@ -677,14 +684,13 @@ def _shadow_logterms(cs, sr, wx, wy, wz, *, es, zs):
     v = (dh[0] * cb1[0] + dh[1] * cb1[1] + dh[2] * cb1[2]) * rec
     margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
     cov = jax.nn.sigmoid(es * margin) * col(13)
-    # t_occ = where(t > 1e-6, t, inf): a miss contributes occ = 0.
+    # t_occ gate: a miss / behind-source hit contributes occ = 0.
     occ_z = jnp.where(
         t > 1e-6, jax.nn.sigmoid(zs * (0.99 * r - t)), 0.0
     )
-    occ = cov * occ_z
-    # Same value as the jnp path's product factor (1 - occ + 1e-20),
-    # accumulated in log space (see module docstring).
-    return jnp.sum(jnp.log(1.0 - occ + 1e-20), axis=0, keepdims=True)
+    # Optical depth (render.soft._soft_shadow_factor): a plain SUM —
+    # chunk- and shard-associative; T = exp(-_OD_SCALE * od) per ray.
+    return jnp.sum(cov * occ_z, axis=0, keepdims=True)
 
 
 def _shw_fwd_kernel(world_ref, src_ref, consts_ref, trans_ref, log_s, *,
@@ -696,7 +702,7 @@ def _shw_fwd_kernel(world_ref, src_ref, consts_ref, trans_ref, log_s, *,
     def _():
         log_s[:, :] = jnp.zeros_like(log_s[:, :])
 
-    log_s[:, :] = log_s[:, :] + _shadow_logterms(
+    log_s[:, :] = log_s[:, :] + _shadow_od_terms(
         consts_ref[:, :], src_ref[:, :],
         world_ref[0:1, :], world_ref[1:2, :], world_ref[2:3, :],
         es=es, zs=zs,
@@ -704,7 +710,7 @@ def _shw_fwd_kernel(world_ref, src_ref, consts_ref, trans_ref, log_s, *,
 
     @pl.when(c == n_chunks - 1)
     def _():
-        trans_ref[:, :] = jnp.exp(log_s[:, :])
+        trans_ref[:, :] = jnp.exp(-_OD_SCALE * log_s[:, :])
 
 
 def _shw_bwd_fused_kernel(world_ref, src_ref, trans_ref, gcot_ref,
@@ -728,10 +734,11 @@ def _shw_bwd_fused_kernel(world_ref, src_ref, trans_ref, gcot_ref,
     t = pl.program_id(1)
     c = pl.program_id(2)
     n_chunks = pl.num_programs(2)
-    dlog = gcot_ref[:, :] * trans_ref[:, :]
+    # d od = gcot * dT/d od = gcot * (-_OD_SCALE) * T.
+    dlog = gcot_ref[:, :] * trans_ref[:, :] * (-_OD_SCALE)
 
     def f(cs, sr, wx, wy, wz):
-        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+        return _shadow_od_terms(cs, sr, wx, wy, wz, es=es, zs=zs)
 
     _, vjp_fn = jax.vjp(
         f, consts_ref[:, :], src_ref[:, :],
@@ -768,13 +775,13 @@ def _shw_bwd_consts_kernel(world_ref, src_ref, trans_ref, gcot_ref,
     c = pl.program_id(0)
     s_ = pl.program_id(1)
     t = pl.program_id(2)
-    # d log T = gcot * T (log-space: no division by partial products).
-    dlog = gcot_ref[:, :] * trans_ref[:, :]
+    # d od = gcot * dT/d od = gcot * (-_OD_SCALE) * T.
+    dlog = gcot_ref[:, :] * trans_ref[:, :] * (-_OD_SCALE)
     wx, wy, wz = (world_ref[0:1, :], world_ref[1:2, :], world_ref[2:3, :])
     sr = src_ref[:, :]
 
     def f(cs):
-        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+        return _shadow_od_terms(cs, sr, wx, wy, wz, es=es, zs=zs)
 
     _, vjp_fn = jax.vjp(f, consts_ref[:, :])
     (dcs,) = vjp_fn(dlog)
@@ -796,11 +803,12 @@ def _shw_bwd_rays_kernel(world_ref, src_ref, trans_ref, gcot_ref,
     c = pl.program_id(2)
     n_tiles = pl.num_programs(1)
     n_chunks = pl.num_programs(2)
-    dlog = gcot_ref[:, :] * trans_ref[:, :]
+    # d od = gcot * dT/d od = gcot * (-_OD_SCALE) * T.
+    dlog = gcot_ref[:, :] * trans_ref[:, :] * (-_OD_SCALE)
     cs = consts_ref[:, :]
 
     def f(sr, wx, wy, wz):
-        return _shadow_logterms(cs, sr, wx, wy, wz, es=es, zs=zs)
+        return _shadow_od_terms(cs, sr, wx, wy, wz, es=es, zs=zs)
 
     _, vjp_fn = jax.vjp(
         f, src_ref[:, :], world_ref[0:1, :], world_ref[1:2, :],
@@ -1030,9 +1038,9 @@ def raytrace_soft_pallas(scene, camera, lights, cfg,
         float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
         float(cfg.ambient), lights.capacity, t_far, tile_p, chunk,
     )
-    img = out[0:3]
-    amb = out[3:6]
-    world = out[6:9]
+    alb = out[0:3]
+    world = out[3:6]
+    nrm = out[6:9]
 
     # Shadow sources: per light, the jittered sample positions when
     # soft-shadowing (`raytracer.cpp:272-296`), else the light position.
@@ -1055,5 +1063,8 @@ def raytrace_soft_pallas(scene, camera, lights, cfg,
     denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
     shadow = jnp.sum(lights.mask[:, None] * per_light, axis=0) / denom
 
-    final = (img - amb) * shadow[None, :] + amb
-    return final[:, :R].T.reshape(H, W, 3)
+    from raytpu.render.soft import shade_agg_raytrace
+
+    final = shade_agg_raytrace(alb.T, world.T, nrm.T, lights,
+                               float(cfg.ambient), shadow)
+    return final[:R].reshape(H, W, 3)

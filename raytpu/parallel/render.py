@@ -302,14 +302,19 @@ def soft_raster_block(scene: Scene, camera: Camera, lights: Lights,
     R = xs.shape[0]
     coords = _pad_minor(jnp.stack([xs, ys], axis=0), tile_p, -1e9)
 
-    img, m, s = _soft_agg_stats(
+    agg, m, s = _soft_agg_stats(
         consts, camera_globals(camera, cfg), lights_table(lights), coords,
         None, float(cfg.soft_edge_sharpness), float(cfg.soft_z_sharpness),
         float(cfg.ambient), lights.capacity, tile_p, chunk, interpret,
     )
     # Background logit 0 (`rasteriser.cpp:188` cleared-to-0 depth buffer).
-    out = _soft_combine(img, m, s, 0.0, MODEL_AXIS)
-    return out[:, :R].T
+    out = _soft_combine(agg, m, s, 0.0, MODEL_AXIS)[:, :R].T
+
+    from raytpu.render.soft import shade_agg_raster
+
+    return shade_agg_raster(out[:, 0:3], out[:, 3:6], out[:, 6],
+                            out[:, 7:10], camera, lights,
+                            float(cfg.ambient))
 
 
 def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
@@ -319,9 +324,9 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
     """Soft-raytrace a row block inside shard_map (data+model sharded).
 
     Primary softmin-over-depth partials merge via _soft_combine; the
-    smooth shadow transmittance is a PRODUCT over triangles, so the
-    per-shard factors merge with an all_gather product over 'model'
-    (log-space inside the kernel, kernels/soft_raytrace_pallas).
+    optical-depth shadow transmittance is exp(-kappa * od) with a
+    shard-ADDITIVE od, so the per-shard factors merge with an
+    all_gather product over 'model' (kernels/soft_raytrace_pallas).
     Returns (rows * W, 3).
     """
     from raytpu.kernels import soft_raytrace_pallas as srt
@@ -353,7 +358,7 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
         lights.capacity, t_far, tile_p, chunk, interpret,
     )
     comb = _soft_combine(out, m, s, -zs * t_far, MODEL_AXIS)
-    img, amb, world = comb[0:3], comb[3:6], comb[6:9]
+    alb, world, nrm = comb[0:3], comb[3:6], comb[6:9]
 
     samples = max(cfg.soft_shadow_samples, 1)
     if samples > 1:
@@ -364,6 +369,9 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
     srcs = jnp.concatenate(
         [src_pos, jnp.zeros((S, 5), jnp.float32)], axis=1)
 
+    # Per-shard transmittance exp(-kappa * od_local): the cross-shard
+    # product equals exp(-kappa * sum od) — the optical depth is
+    # shard-additive (render.soft._soft_shadow_factor).
     trans_local = srt._shadow_trans(shw, srcs, world, es, zs,
                                     tile_p, chunk, interpret)  # (S, Rp)
     trans = jnp.prod(jax.lax.all_gather(trans_local, MODEL_AXIS), axis=0)
@@ -372,8 +380,12 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
                          axis=1)
     denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
     shadow = jnp.sum(lights.mask[:, None] * per_light, axis=0) / denom
-    final = (img - amb) * shadow[None, :] + amb
-    return final[:, :R].T
+
+    from raytpu.render.soft import shade_agg_raytrace
+
+    final = shade_agg_raytrace(alb.T, world.T, nrm.T, lights,
+                               float(cfg.ambient), shadow)
+    return final[:R]
 
 
 def make_sharded_soft_render(mesh, cfg: RenderConfig,

@@ -9,29 +9,32 @@ invisible to autodiff through a hard select. The soft paths replace the
 hard visibility decision with a smooth aggregation (soft-rasterizer-style)
 so that losses see occlusion boundaries.
 
-Round-4 relaxation (VERDICT r3 item 2 — the old sigmoid/log-sigmoid form
-was measured transcendental-bound, bench/ROOFLINE.md):
+Round-4 relaxation (VERDICT r3 item 2 — the old form was measured
+transcendental-bound, bench/ROOFLINE.md):
 
-  * coverage is a COMPACT-SUPPORT smoothstep (`softcov`): exactly 0
-    beyond 4/sharpness from the silhouette, exactly 1 deep inside —
-    polynomial (no exp/log per hypothesis), derivative 3/16 * sharpness
-    at the boundary (~ the old sigmoid's 1/4). The exact-zero tail
-    FIXES the old additive-logit failure mode where a far-missed
-    triangle could beat a covering surface via depth advantage (the
-    round-3 open-scene temperature caveat), and makes conservative
-    chunk culling EXACT (a culled chunk contributes identically 0).
-  * depth resolve stays an online softmax, but over the pure depth
-    logit (coverage multiplies the weight outside the exp; the max is
-    tracked over covered hypotheses only, with the exponent clamped at
-    0 so uncovered hypotheses can never overflow).
   * hypotheses aggregate ATTRIBUTES (albedo, position/zinv, normal) and
     shading runs ONCE per pixel on the aggregated surface — the
-    per-hypothesis inverse-square/Lambert work (rsqrt + divides) of the
-    old form is gone. Hard limit unchanged: aggregation converges to
-    the winner's attributes, then shades exactly like 'clean'.
+    per-hypothesis inverse-square/Lambert work (rsqrt, divides, the
+    world transform) of the old form is gone. Hard limit unchanged:
+    aggregation converges to the winner's attributes, then shades
+    exactly like 'clean'.
   * shadows are optical-depth: T = exp(-kappa * sum occ) (NeRF-style
     transmittance; kappa = _OD_SCALE) instead of a per-triangle
-    log-product — one exp per RAY instead of a log per PAIR.
+    log-product — one exp per RAY instead of a log per PAIR (the od sum
+    is also shard-additive, which simplifies the model-parallel merge).
+  * the raytracer's depth logit is METRIC (t * |d|): the raw ray
+    parameter is in unnormalized-|d| units, which made the effective
+    depth sharpness ~|d| (~300x) weaker than the rasterizer's and
+    FOV-dependent; behind-camera plane hits are now hard-gated out of
+    the aggregation (they used to carry background-level weight).
+  * coverage stays the SIGMOID in additive log-space
+    (zs-depth + log_sigmoid(es * edge) + log(valid)). A compact-support
+    smoothstep alternative was built and measured: ~15% cheaper and it
+    makes chunk culling exactly lossless, but its zero tail destroys
+    long-range silhouette attraction — the STL-scale vertex fit
+    converges 19x with sigmoid coverage vs 1.3x with every compact
+    band tried. The sigmoid's infinite tail is load-bearing for
+    OPTIMIZATION, not just smoothing; see bench/ROOFLINE.md.
 
   raytrace_soft  — barycentric-margin coverage x softmin over t.
   rasterize_soft — screen-space signed-distance coverage x softmax over
@@ -64,24 +67,6 @@ _MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 # T = e^-16 ~ 1e-7 (exact-black in f32 image terms); fully open gives 1.
 _OD_SCALE = 16.0
 
-# softcov's support half-width in sharpness-normalized units: cov is
-# exactly 0 at x <= -_COV_BAND and exactly 1 at x >= _COV_BAND.
-_COV_BAND = 4.0
-
-
-def softcov(x: jax.Array) -> jax.Array:
-    """Compact-support smoothstep coverage.
-
-    cov = u^2 (3 - 2u), u = clip(x/8 + 1/2, 0, 1): exactly 0 for
-    x <= -4, exactly 1 for x >= 4, derivative 3/16 at x = 0 (matched to
-    the old sigmoid's 1/4 bulk slope). Polynomial — ~6 single-pass VPU
-    ops vs the sigmoid's exp + divide — and the EXACT zero tail is what
-    makes compact-support chunk culling bit-exact.
-    """
-    u = jnp.clip(x * 0.125 + 0.5, 0.0, 1.0)
-    return u * u * (3.0 - 2.0 * u)
-
-
 def shade_agg_raytrace(alb, pos, nrm, lights: Lights, ambient: float,
                        shadow) -> jax.Array:
     """Shade the aggregated raytrace surface: one irradiance evaluation
@@ -101,7 +86,16 @@ def shade_agg_raster(alb, ppx, zpx, nrm, camera: Camera, lights: Lights,
     from raytpu.ops.raster import glm_inverse3
 
     inv_rot = glm_inverse3(camera.rotation())
-    zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
+    # Visibility gate, not an epsilon: background-dominated pixels have
+    # agg zinv ~ w * zinv with w -> 0, and a 1e-12-style guard would
+    # amplify their COTANGENTS by 1/zsafe^2 ~ 1e24 even though the
+    # forward is masked by the near-zero albedo (grad-safety invariant:
+    # `where` after the fact does not stop junk cotangents). Gate the
+    # division itself: sub-threshold pixels shade at a benign point
+    # (z = 1 keeps ppx/zsafe tiny) with bounded gradients; real surfaces
+    # have zinv >> 1e-6, so the hard limit is untouched.
+    vis = zpx > 1e-6
+    zsafe = jnp.where(vis, zpx, 1.0)
     world = _MM(ppx / zsafe[..., None], inv_rot) + camera.pos
     irr = irradiance_no_shadow(world, nrm, lights)
     return alb * (irr + jnp.float32(ambient))
@@ -156,14 +150,12 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
                   cfg: RenderConfig) -> jax.Array:
     """Differentiable raytrace; returns (H, W, 3).
 
-    Round-4 relaxation (module docstring): per-(ray, triangle) coverage
-    cov = active * (t > eps) * softcov(edge_sharpness * margin) with
-    margin = min(u, v, 1-u-v); depth resolve = softmin over t with
-    weight w = cov * exp(-z_sharpness * min(t, t_far) - m); hypotheses
-    aggregate (albedo, position, normal) and shading runs once per ray
-    on the aggregate. Misses fall to a background hypothesis at t_far
-    (black). The forward-t gate means behind-camera surfaces contribute
-    EXACTLY zero (the old form gave them background-level weight).
+    Round-4 relaxation (module docstring): logit = -z_sharpness *
+    min(t|d|, t_far) + log_sigmoid(edge_sharpness * margin) +
+    log(active), margin = min(u, v, 1-u-v); hypotheses aggregate
+    (albedo, position, normal) and shading runs once per ray on the
+    aggregate. Misses fall to a background hypothesis at t_far (black);
+    behind-camera plane hits are hard-gated to zero weight.
 
     Shadows: optical-depth transmittance T = exp(-kappa * sum occ) at
     the aggregated hit position, averaged over the light's jittered
@@ -189,39 +181,50 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
     es = jnp.float32(cfg.soft_edge_sharpness)
     chunks = _chunked_scene(scene, cfg.raster_tri_chunk)
 
+    # Metric depth: the ray parameter t is in UNNORMALIZED-direction
+    # units (|d| ~ focal px), so a logit on raw t would make the
+    # effective depth sharpness |d|-dependent (~300x weaker than the
+    # rasterizer's zinv logit, and varying across the FOV). Scale by the
+    # per-ray |d| so zs means "per scene unit" everywhere.
+    dnorm = jnp.linalg.norm(dirs, axis=-1)
+
     def body(carry, ch):
         m, s, acc = carry
         t, u, v = _ray_tri_tuv(dirs, ch["v0"], ch["v1"], ch["v2"],
                                camera.pos)
         margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
         fwd_ok = t > 1e-6
-        cov = softcov(es * margin) * ch["active"][None, :]
-        cov = jnp.where(fwd_ok, cov, 0.0)
-        dlogit = -zs * jnp.where(fwd_ok, jnp.minimum(t, t_far), t_far)
+        dist = t * dnorm[:, None]
+        logit = (
+            -zs * jnp.minimum(jnp.where(fwd_ok, dist, t_far), t_far)
+            + jax.nn.log_sigmoid(es * margin)
+            + jnp.log(ch["active"][None, :] + 1e-20)
+        )
+        # Hard-gate behind-camera plane hits (exactly zero weight; the
+        # old form gave them background-level weight — ghost colors on
+        # miss rays in open scenes).
+        logit = jnp.where(fwd_ok, logit, -1e30)
 
         tp = jnp.where(fwd_ok & (t < 3e38), t, 0.0)
         pos = camera.pos[None, None, :] + tp[..., None] * dirs[:, None, :]
         alb = jnp.broadcast_to(ch["color"][None, :, :], pos.shape)
         nrm = jnp.broadcast_to(ch["normal"][None, :, :], pos.shape)
 
-        # Online softmax with the max tracked over COVERED hypotheses
-        # only and the exponent clamped at 0: an uncovered hypothesis
-        # (cov exactly 0) can never overflow the exp nor shift m.
-        eff = jnp.where(cov > 0.0, dlogit, -jnp.float32(3e38))
-        m_new = jnp.maximum(m, jnp.max(eff, axis=1))
+        m_new = jnp.maximum(m, jnp.max(logit, axis=1))
         scale = jnp.exp(m - m_new)
-        w = cov * jnp.exp(jnp.minimum(dlogit - m_new[:, None], 0.0))
+        w = jnp.exp(logit - m_new[:, None])
         s_new = s * scale + jnp.sum(w, axis=1)
         num = jnp.concatenate([alb, pos, nrm], axis=-1)  # (R, C, 9)
         acc_new = acc * scale[:, None] + jnp.einsum("rc,rcd->rd", w, num)
         return (m_new, s_new, acc_new), None
 
     # Background hypothesis at t_far (black, zero attributes).
-    m0 = jnp.full((R,), -cfg.soft_z_sharpness * t_far)
+    dt = dirs.dtype
+    m0 = jnp.full((R,), -cfg.soft_z_sharpness * t_far, dt)
     init = (
         m0,
-        jnp.ones((R,), jnp.float32),
-        jnp.zeros((R, 9), jnp.float32),
+        jnp.ones((R,), dt),
+        jnp.zeros((R, 9), dt),
     )
     (m, s_den, acc), _ = jax.lax.scan(
         body, init,
@@ -246,13 +249,13 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
     Relaxation of `raytracer.cpp:307-315` (occluded when an intersection
     from the light toward the point is closer than 0.99 r) as an
     optical depth: od = sum over triangles of
-    softcov(es * margin) * softcov(zs * (0.99 r - t)), transmittance
+    sigmoid(es * margin) * sigmoid(zs * (0.99 r - t)), transmittance
     T = exp(-_OD_SCALE * od). od is a plain SUM, so the chunk combine
     (and the model-shard combine, parallel/render.py) is an add; one
     exp per (ray, source) instead of a log per (ray, triangle).
     Hard limit: any real occluder gives od >= 1 => T <= e^-16 ~ 0.
     """
-    total = jnp.zeros(world.shape[0])
+    total = jnp.zeros(world.shape[0], world.dtype)
     denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
     samples = max(cfg.soft_shadow_samples, 1)
     chunks = _chunked_scene(scene, cfg.raster_tri_chunk)
@@ -260,7 +263,7 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
     zs = jnp.float32(cfg.soft_z_sharpness)
 
     for k in range(lights.capacity):
-        light_total = jnp.zeros(world.shape[0])
+        light_total = jnp.zeros(world.shape[0], world.dtype)
         for si in range(samples):
             if samples > 1:
                 position = lights.jitter[k, si]
@@ -278,14 +281,15 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
                     d_hat, ch["v0"], ch["v1"], ch["v2"], position
                 )
                 margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
-                cov = softcov(es * margin) * ch["active"][None, :]
+                cov = jax.nn.sigmoid(es * margin) * ch["active"][None, :]
                 occ_z = jnp.where(
-                    t > 1e-6, softcov(zs * (0.99 * r[:, None] - t)), 0.0
+                    t > 1e-6,
+                    jax.nn.sigmoid(zs * (0.99 * r[:, None] - t)), 0.0,
                 )
                 return od + jnp.sum(cov * occ_z, axis=1), None
 
             od, _ = jax.lax.scan(
-                body, jnp.zeros(world.shape[0]), chunks
+                body, jnp.zeros(world.shape[0], world.dtype), chunks
             )
             light_total = light_total + jnp.exp(-jnp.float32(_OD_SCALE)
                                                 * od)
@@ -427,20 +431,6 @@ def _fields_for(p, sx, sy, zinv, pos3d):
     return sdist, zpx, ppx, area_ok
 
 
-def _shade_chunk(ppx, zpx, colors, normals, camera: Camera,
-                 lights: Lights, cfg: RenderConfig) -> jax.Array:
-    """Clean PixelShader per (pixel, triangle) hypothesis
-    (`rasteriser.cpp:549-589`, no shadow). colors/normals: (C, 3).
-    Returns (R, C, 3)."""
-    from raytpu.ops.raster import glm_inverse3
-
-    inv_rot = glm_inverse3(camera.rotation())
-    zsafe = jnp.where(jnp.abs(zpx) > 1e-12, zpx, 1e-12)
-    world = _MM((ppx / zsafe[..., None]), inv_rot) + camera.pos
-    irr = irradiance_no_shadow(world, normals[None, :, :], lights)
-    return colors[None, :, :] * (irr + jnp.float32(cfg.ambient))
-
-
 def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
                    cfg: RenderConfig) -> jax.Array:
     """Differentiable rasterize; returns (H, W, 3).
@@ -448,10 +438,13 @@ def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
     Soft z-buffer: per-pixel softmax over triangle logits
     ``z_sharpness * zinv + log_sigmoid(edge_sharpness * sdist)`` with a
     background logit at zinv = 0 — exactly the reference's cleared depth
-    buffer in the hard limit (`rasteriser.cpp:188,606`). Attributes
-    interpolate with simplex-clamped screen-space barycentrics (zinv and
-    pos3d = pos/z are affine in screen space — the standard
-    perspective-correct scheme, same as `rasteriser.cpp:538-541`).
+    buffer in the hard limit (`rasteriser.cpp:188,606`). Hypotheses
+    aggregate attributes
+    (albedo, pos3d numerator, zinv, normal) with simplex-clamped
+    screen-space barycentrics (zinv and pos3d = pos/z are affine in
+    screen space — the standard perspective-correct scheme, same as
+    `rasteriser.cpp:538-541`); shading runs once per pixel on the
+    aggregate (shade_agg_raster).
 
     On TPU (cfg.pallas_enabled) this dispatches to the fused Pallas
     kernel with a custom VJP (raytpu.kernels.soft_raster_pallas) —
@@ -496,30 +489,34 @@ def rasterize_soft(scene: Scene, camera: Camera, lights: Lights,
             + jax.nn.log_sigmoid(cfg.soft_edge_sharpness * sdist)
             + jnp.log(mask[None, :] + 1e-20)
         )
-        shade = _shade_chunk(ppx, zpx, colc, nc, camera, lights, cfg)
+        alb = jnp.broadcast_to(colc[None, :, :], ppx.shape)
+        nrm = jnp.broadcast_to(nc[None, :, :], ppx.shape)
         # Streaming ("online") softmax over triangle chunks — O(R * chunk)
-        # live memory, so 9k-triangle scenes fit (the monolithic (R, T)
-        # formulation would need GBs).
+        # live memory, so 9k-triangle scenes fit.
         m_new = jnp.maximum(m, jnp.max(logit, axis=1))
         scale = jnp.exp(m - m_new)
         w = jnp.exp(logit - m_new[:, None])
         s_new = s * scale + jnp.sum(w, axis=1)
-        acc_new = acc * scale[:, None] + jnp.einsum(
-            "rc,rcd->rd", w, shade
-        )
+        num = jnp.concatenate(
+            [alb, ppx, zpx[..., None], nrm], axis=-1
+        )  # (R, C, 10)
+        acc_new = acc * scale[:, None] + jnp.einsum("rc,rcd->rd", w, num)
         return (m_new, s_new, acc_new), None
 
     # Background hypothesis: logit 0 at zinv = 0 (cleared depth buffer,
-    # `rasteriser.cpp:188`), black color.
+    # `rasteriser.cpp:188`), black/zero attributes.
+    dt = sx.dtype
     init = (
-        jnp.zeros((R,), jnp.float32),        # m = bg logit
-        jnp.ones((R,), jnp.float32),         # s = bg weight
-        jnp.zeros((R, 3), jnp.float32),      # acc (bg is black)
+        jnp.zeros((R,), dt),        # m = bg logit
+        jnp.ones((R,), dt),         # s = bg weight
+        jnp.zeros((R, 10), dt),     # acc (bg contributes zeros)
     )
     xs_in = (resh(sx), resh(sy), resh(zinv), resh(pos3d), resh(keep),
              resh(colors), resh(normals))
     (m, s_den, acc), _ = jax.lax.scan(body, init, xs_in)
-    img = acc / s_den[:, None]
+    agg = acc / s_den[:, None]
+    img = shade_agg_raster(agg[:, 0:3], agg[:, 3:6], agg[:, 6],
+                           agg[:, 7:10], camera, lights, cfg.ambient)
     return img.reshape(H, W, 3)
 
 

@@ -206,8 +206,14 @@ def test_soft_rasterizer_grads_vertices():
 
 def test_soft_raytracer_grads_vertices():
     scene, cam, lights, w = _setup()
+    # Round 4: the raytracer's depth logit became METRIC (t * |d|), so
+    # one unit of z-sharpness is ~|d| (~300x) sharper than before;
+    # zs = 2.0 here is comparable to the old effective softness. At
+    # zs = 10 the f32 central difference at any viable eps is
+    # truncation-limited (~0.18 rel) while an f64 fd converges to the
+    # SAME autodiff jvp at 2e-9 — the Jacobian is exact either way.
     cfg = RenderConfig(width=SIZE, height=SIZE, mode="soft",
-                       soft_edge_sharpness=20.0, soft_z_sharpness=10.0)
+                       soft_edge_sharpness=20.0, soft_z_sharpness=2.0)
 
     def img_fn(v0):
         s2 = Scene(v0=v0, v1=scene.v1, v2=scene.v2, color=scene.color,
