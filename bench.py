@@ -344,7 +344,69 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
     except Exception as e:  # noqa: BLE001 — STL row must never kill the run
         log(f"[bench] stl row failed: {type(e).__name__}: {e}")
     report(res, True)
+
+    # --- sharded paths on the real chip (VERDICT r3 item 4) -------------
+    try:
+        row = _bench_sharded_1x1(size=min(size, 256))
+        res["sharded_1x1"] = row
+        log(f"[bench] sharded (1,1) TPU mesh: clean maxdiff "
+            f"{row['clean_maxdiff']:.2e}, soft maxdiff "
+            f"{row['soft_maxdiff']:.2e}, ok={row['ok']}")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] sharded 1x1 row failed: {type(e).__name__}: {e}")
+    report(res, True)
     return res
+
+
+def _bench_sharded_1x1(size=256):
+    """Run the sharded (shard_map) render paths on a REAL (1,1) TPU mesh
+    and compare against the unsharded renders (VERDICT r3 item 4: until
+    round 4, every sharded execution ran in CPU interpret mode — this
+    exercises real Mosaic lowering of the Pallas kernels INSIDE
+    shard_map on the chip; no collectives at (1,1), same code path
+    otherwise)."""
+    import jax
+    import numpy as np
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.parallel.mesh import make_mesh
+    from raytpu.parallel.render import (
+        make_sharded_render,
+        make_sharded_soft_render,
+    )
+    from raytpu.render.raytrace import raytrace_full
+    from raytpu.render.soft import rasterize_soft
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("needs the TPU backend")
+    scene = cornell_box(pad_to=32)
+    lights = Lights.single(capacity=1)
+    cam_rt = Camera.raytracer_default()
+    cam_rz = Camera.rasterizer_default()
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    cfg = RenderConfig(width=size, height=size, mode="clean")
+    img_s = np.asarray(make_sharded_render(mesh, cfg)(scene, cam_rt,
+                                                      lights))
+    img_u = np.asarray(raytrace_full(scene, cam_rt, lights, cfg).image)
+    clean_diff = float(np.abs(img_s - img_u).max())
+
+    cfg_soft = RenderConfig(width=size, height=size, mode="soft",
+                            soft_edge_sharpness=40.0,
+                            soft_z_sharpness=40.0)
+    soft_fn = make_sharded_soft_render(mesh, cfg_soft,
+                                       renderer="rasterize")
+    img_ss = np.asarray(soft_fn(scene, cam_rz, lights))
+    img_su = np.asarray(rasterize_soft(scene, cam_rz, lights, cfg_soft))
+    soft_diff = float(np.abs(img_ss - img_su).max())
+    return {
+        "mesh": "1x1 tpu",
+        "size": size,
+        "clean_maxdiff": clean_diff,
+        "soft_maxdiff": soft_diff,
+        "ok": bool(clean_diff < 1e-5 and soft_diff < 1e-4),
+    }
 
 
 def _bench_soft_stl(size=512, use_pallas=None):
