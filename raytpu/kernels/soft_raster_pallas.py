@@ -144,16 +144,21 @@ def lights_table(lights) -> jax.Array:
 
 
 def _chunk_terms(cs, gl, lt, px, py, *, es, zs, ambient, capacity):
-    """Per-(triangle, pixel) logit and shaded color for one chunk.
+    """Per-(triangle, pixel) logit and attribute channels for one chunk.
 
-    cs: (C, 32) constants; gl: (1, 16) globals; lt: (L, 8) lights;
-    px, py: (1, P). Returns logit, sh0, sh1, sh2 — each (C, P).
+    cs: (C, 32) constants; gl: (1, 16) globals; lt: (L, 8) lights
+    (unused since round 4 — shading happens on the aggregate outside the
+    kernel; kept for table-shape compatibility); px, py: (1, P).
+    Returns (logit, vals[10]) — each (C, P); vals = [albedo rgb,
+    pos3d-numerator xyz, zinv, normal xyz].
 
     Pure jnp on 2D values: runs identically inside the Pallas kernel
     (on loaded blocks) and in plain XLA (tests), and is jax.vjp-able
-    in-kernel for the backward pass. Mirrors render.soft._fields_for +
-    _shade_chunk term-for-term (see module docstring for the two
-    documented fp reassociations).
+    in-kernel for the backward pass. Mirrors render.soft._fields_for
+    term-for-term up to documented fp reassociations (ADVICE r3 item 2):
+    edge values from precomputed per-triangle scale factors; raw edge
+    values reused as barycentric numerators; min-of-squares-then-sqrt
+    for the segment distance — each ~1e-5-rel vs the jnp forms.
     """
 
     def col(j):

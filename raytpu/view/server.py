@@ -21,6 +21,7 @@ Key map (reference semantics, same latching):
   7             AA toggle (3x supersampling)        `raytracer.cpp:426-436`
   8             soft shadows toggle (16 samples)    `raytracer.cpp:438-448`
   9             depth-of-field toggle               `raytracer.cpp:450-460`
+  0             clean <-> soft (differentiable) render   (raytpu extension)
   ] / [         focal length +/- 0.1 (px scale ~ +/-10)  `raytracer.cpp:462-473`
   2 / 3         spawn random light / delete last    `raytracer.cpp:520-539`
 
@@ -79,7 +80,15 @@ class ViewerApp:
     def _render_fn(self, cfg: RenderConfig):
         fn = self._jits.get(cfg)
         if fn is None:
-            if self.renderer == "raytrace":
+            if cfg.mode == "soft":
+                # Key 0: the differentiable render, live (same fused
+                # Pallas kernels the training path uses).
+                from raytpu.render.soft import rasterize_soft, raytrace_soft
+
+                soft = (raytrace_soft if self.renderer == "raytrace"
+                        else rasterize_soft)
+                fn = jax.jit(lambda s, c, l: soft(s, c, l, cfg))
+            elif self.renderer == "raytrace":
                 from raytpu.render.raytrace import raytrace_full
 
                 fn = jax.jit(
@@ -148,6 +157,9 @@ class ViewerApp:
                 )
             elif key == "3":  # delete the most recent light
                 self.lights = self.lights.delete_last()
+            elif key == "0":  # clean <-> soft (differentiable) render
+                new_mode = "soft" if self.cfg.mode != "soft" else "clean"
+                self.cfg = self.cfg.replace(mode=new_mode)
             elif key != "none":
                 raise KeyError(key)
             self.render()
@@ -183,7 +195,7 @@ _PAGE = """<!doctype html>
 <script>
  const KEYMAP = {ArrowUp:'up', ArrowDown:'down', ArrowLeft:'left',
    ArrowRight:'right', w:'w', s:'s', a:'a', d:'d', '7':'7', '8':'8',
-   '9':'9', '[':'[', ']':']', '2':'2', '3':'3'};
+   '9':'9', '[':'[', ']':']', '2':'2', '3':'3', '0':'0'};
  let busy = false;
  async function send(k) {
    if (busy) return; busy = true;

@@ -111,3 +111,33 @@ def test_viewer_rasterizer_mode():
     st = app.handle_key("up")
     assert st["frame"] == 1
     assert app._frame.shape == (SIZE, SIZE, 3)
+
+
+def test_soft_mode_toggle():
+    """Key 0 flips the live render between clean and the differentiable
+    soft path (VERDICT r3 item 8) and produces finite frames; the
+    viewer's default cfg resolves to the Pallas renderers exactly when
+    the backend is the TPU (use_pallas=None auto rule)."""
+    import jax
+    import numpy as np
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.view.server import ViewerApp
+
+    app = ViewerApp(
+        cornell_box(pad_to=32), Camera.raytracer_default(),
+        Lights.single(capacity=2), RenderConfig(width=16, height=16,
+                                                mode="clean"),
+    )
+    assert app.cfg.pallas_enabled == (jax.default_backend() == "tpu")
+    st = app.handle_key("0")
+    assert app.cfg.mode == "soft", st
+    frame_soft = app._frame.copy()
+    assert np.isfinite(frame_soft).all()
+    app.handle_key("0")
+    assert app.cfg.mode == "clean"
+    assert np.isfinite(app._frame).all()
+    # Soft and clean frames differ (relaxed visibility + optical-depth
+    # shadows vs hard) but stay in the same image range.
+    assert np.abs(frame_soft - app._frame).mean() < 0.5
