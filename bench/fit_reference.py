@@ -141,6 +141,14 @@ def main():
                          "steps (the soft loss is a surrogate; its "
                          "minimum need not be the hard optimum)")
     ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--polish-steps", type=int, default=0,
+                    help="after the soft fit, refine through the HARD "
+                         "differentiable rasterizer (rasterize_exact): "
+                         "interior/shading/color gradients are exact "
+                         "(no soft blending), silhouettes stay put. "
+                         "Corrects soft-blend-induced albedo drift "
+                         "(VERDICT r3 item 6's polish stage).")
+    ap.add_argument("--polish-lr", type=float, default=2e-3)
     args = ap.parse_args()
 
     import jax
@@ -223,6 +231,50 @@ def main():
     )
     t0 = time.time()
     result = fit(target, scene0, camera, lights0, render_cfg, fit_cfg)
+
+    polish_evals = []
+    if args.polish_steps > 0:
+        import dataclasses as _dc
+
+        import optax
+
+        from raytpu.render.soft import rasterize_exact
+
+        cfg_hard = RenderConfig(width=size, height=size, mode="clean")
+        tgt = jnp.asarray(target)
+
+        def hard_loss(params):
+            scene_, lights_ = params
+            img = rasterize_exact(scene_, camera, lights_, cfg_hard)
+            if args.loss == "chroma":
+                def chroma(x):
+                    return x / (jnp.sum(x, axis=-1, keepdims=True) + 0.15)
+                return (jnp.mean((chroma(img) - chroma(tgt)) ** 2)
+                        + 0.05 * jnp.mean((img - tgt) ** 2))
+            return jnp.mean((img - tgt) ** 2)
+
+        opt = optax.adam(args.polish_lr)
+        params = (result.scene, result.lights)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def polish_step(params, opt_state):
+            loss, g = jax.value_and_grad(hard_loss)(params)
+            upd, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        best = (eval_agreement(*params), params)
+        log(f"[fit_reference] polish start agreement {best[0]:.4f}")
+        for i in range(args.polish_steps):
+            params, opt_state, ploss = polish_step(params, opt_state)
+            if (i + 1) % args.eval_every == 0:
+                score = eval_agreement(*params)
+                polish_evals.append([args.steps + i + 1, round(score, 4)])
+                if score > best[0]:
+                    best = (score, params)
+                log(f"[fit_reference] polish step {i+1}: loss "
+                    f"{float(ploss):.3e} agreement {score:.4f}")
+        result = result._replace(scene=best[1][0], lights=best[1][1])
     wall = time.time() - t0
 
     fitted_hard = hard_render(result.scene, camera, result.lights, size)
@@ -249,7 +301,9 @@ def main():
             "perturbed_init": agree_init,
             "fitted": agree_fit,
         },
-        "eval_curve": [[int(s), round(v, 4)] for s, v in result.evals],
+        "eval_curve": [[int(s), round(v, 4)] for s, v in result.evals]
+                      + polish_evals,
+        "polish_steps": args.polish_steps,
         "losses": [round(float(x), 8) for x in result.losses],
     }
     with open(os.path.join(args.out, "loss_curve.json"), "w") as f:
