@@ -119,7 +119,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--vertex-noise", type=float, default=0.04)
     ap.add_argument("--size", type=int, default=500)
-    ap.add_argument("--loss", default="chroma", choices=["chroma", "mse"],
+    ap.add_argument("--loss", default="chroma",
+                    choices=["chroma", "chroma+edge", "mse"],
                     help="chroma = brightness-robust (the screenshot's "
                          "absolute lighting is from an older build and "
                          "unreproducible; color-region geometry is the "
@@ -141,13 +142,26 @@ def main():
                          "steps (the soft loss is a surrogate; its "
                          "minimum need not be the hard optimum)")
     ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--anneal", default="std", choices=["std", "cyclic"],
+                    help="cyclic = re-soften after the first sharp stage "
+                         "(warm-restart the surrogate so silhouettes can "
+                         "escape a local basin) then sharpen again; "
+                         "eval-argmax selection keeps the best sharp "
+                         "moment")
     ap.add_argument("--polish-steps", type=int, default=0,
-                    help="after the soft fit, refine through the HARD "
-                         "differentiable rasterizer (rasterize_exact): "
-                         "interior/shading/color gradients are exact "
-                         "(no soft blending), silhouettes stay put. "
-                         "Corrects soft-blend-induced albedo drift "
-                         "(VERDICT r3 item 6's polish stage).")
+                    help="after the soft fit, refine colors+lights "
+                         "through the HARD differentiable rasterizer "
+                         "(rasterize_exact). MEASURED OUTCOME (r4): the "
+                         "hard chroma loss and the class-agreement "
+                         "metric genuinely disagree on this target (the "
+                         "screenshot's absolute colors are from an "
+                         "older build), so polishing LOWERS agreement "
+                         "while lowering the loss; best-selection "
+                         "protects the result. Kept for targets whose "
+                         "colors ARE reproducible. The residual 97->98 "
+                         "gap is silhouette placement (B->W / R->G "
+                         "confusions form boundary LINES), which hard "
+                         "gradients cannot move at all.")
     ap.add_argument("--polish-lr", type=float, default=2e-3)
     args = ap.parse_args()
 
@@ -219,8 +233,13 @@ def main():
         loss=args.loss,
         lr_vertices=args.lr_vertices,
         lr_schedule=args.lr_schedule,
-        stages=((10.0, 20.0, 0.34), (25.0, 80.0, 0.33),
-                (60.0 * args.max_sharp, 400.0 * args.max_sharp, 0.33)),
+        stages=(
+            ((10.0, 20.0, 0.2), (25.0, 80.0, 0.2), (60.0, 400.0, 0.15),
+             (15.0, 40.0, 0.15), (30.0, 120.0, 0.15), (60.0, 400.0, 0.15))
+            if args.anneal == "cyclic" else
+            ((10.0, 20.0, 0.34), (25.0, 80.0, 0.33),
+             (60.0 * args.max_sharp, 400.0 * args.max_sharp, 0.33))
+        ),
         log_every=25,
         checkpoint_dir=None,
         image_dump_every=0,
@@ -260,7 +279,21 @@ def main():
         @jax.jit
         def polish_step(params, opt_state):
             loss, g = jax.value_and_grad(hard_loss)(params)
-            upd, opt_state = opt.update(g, opt_state, params)
+            # Colors + lights only: the hard renderer's VERTEX gradients
+            # are coverage-discontinuous (no silhouette term) and adam
+            # turns their noise into full-size steps — a 2e-3 polish on
+            # vertices shreds the mesh (measured: agreement 0.97 ->
+            # 0.25 in 350 steps). The soft-blend drift being corrected
+            # is in the albedos, which the hard render fits exactly.
+            g_scene, g_lights = g
+            g_scene = _dc.replace(
+                g_scene,
+                v0=jnp.zeros_like(g_scene.v0),
+                v1=jnp.zeros_like(g_scene.v1),
+                v2=jnp.zeros_like(g_scene.v2),
+            )
+            upd, opt_state = opt.update((g_scene, g_lights), opt_state,
+                                        params)
             return optax.apply_updates(params, upd), opt_state, loss
 
         best = (eval_agreement(*params), params)
