@@ -104,7 +104,7 @@ def _slope(time_at, n_lo, n_hi):
     return slope, diag
 
 
-def _time_batches(fn, args_for_batch, batches=5, reps=2):
+def _time_batches(fn, args_for_batch, batches=4, reps=2):
     """Per-call wall (ms): `reps` pipelined dispatches per batch, blocked
     once (overlapping the tunnel RTT as steady-state training would);
     args vary per (batch, rep) so the tunnel's value-replay cache can
@@ -122,7 +122,8 @@ def _time_batches(fn, args_for_batch, batches=5, reps=2):
     return times
 
 
-def _chain_train(render_fn, params, n_lo=10, n_hi=50):
+def _chain_train(render_fn, params, n_lo=10, n_hi=50, batches=4,
+                 reps=2):
     """ms per fwd+bwd optimizer step: REAL optimizer steps chained in one
     executable (tiny lr so parameters stay put numerically), fixed
     dispatch cost differenced out (see _slope)."""
@@ -162,12 +163,14 @@ def _chain_train(render_fn, params, n_lo=10, n_hi=50):
         return _time_batches(
             chained,
             lambda k: (params, os0, jnp.float32(k) * 1e-30, n),
+            batches=batches, reps=reps,
         )
 
     return _slope(time_at, n_lo, n_hi)
 
 
-def _chain_fwd(render_fn, params, n_lo=10, n_hi=50):
+def _chain_fwd(render_fn, params, n_lo=10, n_hi=50, batches=4,
+               reps=2):
     """ms per forward frame, chained through the carry (the rendered
     image feeds back into the parameters at weight 1e-20, so the scan
     body cannot be hoisted as loop-invariant); fixed dispatch cost
@@ -198,6 +201,7 @@ def _chain_fwd(render_fn, params, n_lo=10, n_hi=50):
         return _time_batches(
             fwd_chain,
             lambda k: (scene, jnp.float32(k) * 1e-30, n),
+            batches=batches, reps=reps,
         )
 
     return _slope(time_at, n_lo, n_hi)
@@ -236,7 +240,8 @@ def _result_json(res, impl, complete, size=512):
     return json.dumps(out)
 
 
-def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
+def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
+              core_only=False):
     """Measure all metrics, calling report(res_dict, complete) after each
     one so partial progress survives the process being killed."""
     import jax
@@ -318,6 +323,10 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None):
     log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.3f} ms -> "
         f"{res['soft_rasterize']['mrays']} Mrays/s")
     report(res, True)
+
+    if core_only:
+        report(res, True)
+        return res
 
     # --- soft at STL scale (VERDICT r3 item 3): 9,216-tri soft raster
     # fwd+bwd through the fused kernel, chunk-CULLED vs brute.
@@ -429,8 +438,10 @@ def _bench_soft_stl(size=512, use_pallas=None):
     def brute(s, l):
         return rasterize_soft_pallas(s, cam, l, cfg, cull=False)
 
-    ms_c, _ = _chain_train(culled, (scene, lights), n_lo=3, n_hi=10)
-    ms_b, _ = _chain_train(brute, (scene, lights), n_lo=2, n_hi=5)
+    ms_c, _ = _chain_train(culled, (scene, lights), n_lo=3, n_hi=10,
+                           batches=3)
+    ms_b, _ = _chain_train(brute, (scene, lights), n_lo=2, n_hi=4,
+                           batches=3, reps=1)
     return {
         "tris": scene.num_triangles,
         "train_culled_ms": round(ms_c, 3),
@@ -468,8 +479,10 @@ def _bench_stl_cull(size=512):
             d, consts, cam.pos, scene.v0, scene.v1, scene.v2,
             image_hw=(size, size))
 
-    ms_b, _ = _chain_fwd(lambda d: brute(d).t, (dirs,), n_lo=3, n_hi=10)
-    ms_c, _ = _chain_fwd(lambda d: culled(d).t, (dirs,), n_lo=5, n_hi=25)
+    ms_b, _ = _chain_fwd(lambda d: brute(d).t, (dirs,), n_lo=3,
+                         n_hi=10, batches=3)
+    ms_c, _ = _chain_fwd(lambda d: culled(d).t, (dirs,), n_lo=5,
+                         n_hi=25, batches=3)
     return {
         "tris": scene.num_triangles,
         "brute_ms": round(ms_b, 3),
@@ -503,6 +516,11 @@ def _run_child(impl, timeout, size=512, iters=20, platform="default"):
     cmd = [sys.executable, __file__, "--impl", impl, "--progressive",
            "--size", str(size), "--iters", str(iters),
            "--platform", platform]
+    if impl == "xla":
+        # The fallback child only needs the headline rows (the STL and
+        # sharded extras are Pallas-path capabilities and far too slow
+        # on the XLA path to fit a fallback budget).
+        cmd.append("--core-only")
     log(f"[bench] child: {impl} (budget {timeout:.0f}s)")
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -563,15 +581,17 @@ def main():
     ap.add_argument("--progressive", action="store_true",
                     help="print a JSON line after every completed metric "
                          "(child mode; the parent takes the last line)")
-    ap.add_argument("--pallas-timeout", type=float, default=450.0,
+    ap.add_argument("--pallas-timeout", type=float, default=560.0,
                     help="seconds allowed for the Pallas-path child")
-    ap.add_argument("--xla-timeout", type=float, default=240.0,
+    ap.add_argument("--xla-timeout", type=float, default=150.0,
                     help="seconds allowed for the XLA fallback child")
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the numpy-oracle baseline instead of "
                          "using the hardcoded constant")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--core-only", action="store_true",
+                    help="headline rows only (skip STL + sharded extras)")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default",
                     help="cpu = force the CPU backend (smoke tests; env "
@@ -594,10 +614,12 @@ def main():
                 print(_result_json(res, args.impl, complete,
                                    size=args.size), flush=True)
             bench_tpu(size=args.size, iters=args.iters,
-                      use_pallas=use_pallas, report=report)
+                      use_pallas=use_pallas, report=report,
+                      core_only=args.core_only)
         else:
             res = bench_tpu(size=args.size, iters=args.iters,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            core_only=args.core_only)
             print(_result_json(res, args.impl, True, size=args.size),
                   flush=True)
         return
