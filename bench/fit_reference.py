@@ -78,6 +78,94 @@ def class_agreement(img_u8, ref_u8, stride=10):
 import functools
 
 
+def _save_params(path, scene, lights):
+    """Persist fitted (scene, lights) pytree leaves for --from-params."""
+    import jax
+    import numpy as np
+
+    leaves, _ = jax.tree_util.tree_flatten((scene, lights))
+    np.savez(path, *[np.asarray(x) for x in leaves])
+
+
+def _load_params(path, scene_t, lights_t):
+    import jax
+    import numpy as np
+
+    d = np.load(path)
+    leaves = [d[k] for k in
+              sorted(d.files, key=lambda s: int(s.split("_")[1]))]
+    treedef = jax.tree_util.tree_flatten((scene_t, lights_t))[1]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_class_hinge(ref_classes, weight, stride=10):
+    """Differentiable surrogate of the class-agreement metric itself.
+
+    The metric samples ONE pixel per 10x10 cell and runs _classify's
+    decision list on its u8 value; the round-4 gap analysis showed the
+    residual disagreements are (a) silhouette boundary LINES whose
+    pixel-loss mass is ~0.3% (chroma loss near-indifferent) and (b)
+    u8-rounding flips of the exact channel-equality classes (C needs
+    g==b, Y needs r==g after quantization). This returns a loss(img)
+    callable that puts a hinge on SUFFICIENT classification margins for
+    the reference class at exactly the metric's sampled pixels, so the
+    optimizer feels each disagreeing cell directly instead of through
+    its 100-pixel neighborhood average.
+
+    Margins (floats pre-quantization; decision list in _classify):
+      dominant-channel difference >= 0.044 (clears the 0.04 W-band plus
+      u8 rounding), secondary strict inequality >= 0.012 (~3 u8 steps),
+      equality bands |a-b| <= 0.0015 (u8 rounding resolution 1/255),
+      black total <= 0.016 / non-black >= 0.024. Satisfied cells
+      contribute exactly 0 (hinge), so pressure concentrates on the
+      violated cells and vanishes once the metric flips.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    DOM, SUB, EPS = 0.044, 0.012, 0.0015
+    n_cells = float(ref_classes.size)
+    masks = {str(k): jnp.asarray(ref_classes == k)
+             for k in np.unique(ref_classes)}
+
+    def loss(img):
+        def hinge(m):
+            return jnp.maximum(m, 0.0)
+
+        s = img[::stride, ::stride, :]
+        r, g, b = s[..., 0], s[..., 1], s[..., 2]
+        tot = r + g + b
+        bright = hinge(0.024 - tot)
+        per = {
+            ".": hinge(tot - 0.016),
+            "W": (hinge(jnp.abs(r - g) - 0.036)
+                  + hinge(jnp.abs(g - b) - 0.036) + bright),
+            "G": hinge(DOM - (g - r)) + hinge(SUB - (g - b)) + bright,
+            # B must also dodge the earlier P branch (r>g and |r-b|<0.1):
+            # either g>=r or b-r>=0.1 suffices.
+            "B": (hinge(DOM - (b - g)) + hinge(SUB - (b - r))
+                  + hinge(-jnp.maximum(g - r, b - r - 0.1001)) + bright),
+            "R": (hinge(DOM - (r - g)) + hinge(SUB - (r - b))
+                  + hinge(-jnp.maximum(g - b, r - b - 0.1001)) + bright),
+            "P": (hinge(DOM - (r - g)) + hinge(SUB - (b - g))
+                  + hinge(jnp.abs(r - b) - 0.095) + bright),
+            # C and Y exist only via exact u8 channel equality (the
+            # decision list's G/B (resp. G/R) branches otherwise fire).
+            "C": (hinge(DOM - (g - r)) + hinge(DOM - (b - r))
+                  + hinge(jnp.abs(g - b) - EPS) + bright),
+            "Y": (hinge(DOM - (r - b)) + hinge(SUB - (g - b))
+                  + hinge(jnp.abs(r - g) - EPS) + bright),
+        }
+        total = 0.0
+        for k, cell_loss in per.items():
+            if k in masks:
+                total = total + jnp.sum(
+                    jnp.where(masks[k], cell_loss, 0.0))
+        return weight * total / n_cells
+
+    return loss
+
+
 @functools.lru_cache(maxsize=4)
 def _hard_run(size):
     import jax
@@ -163,6 +251,27 @@ def main():
                          "confusions form boundary LINES), which hard "
                          "gradients cannot move at all.")
     ap.add_argument("--polish-lr", type=float, default=2e-3)
+    ap.add_argument("--class-polish-steps", type=int, default=0,
+                    help="after the soft fit, run a second SOFT fit "
+                         "whose loss adds a class-margin hinge at "
+                         "exactly the metric's 2500 sampled pixels "
+                         "(make_class_hinge) — the metric-aligned "
+                         "counterpart of the measured-ineffective hard "
+                         "polish; targets the silhouette-line and "
+                         "u8-equality confusions the chroma loss "
+                         "cannot see")
+    ap.add_argument("--class-weight", type=float, default=1.0)
+    ap.add_argument("--class-stages", default="25,80,0.5;60,400,0.5",
+                    help="semicolon list of edge_sharp,z_sharp,frac "
+                         "annealing stages for the class polish")
+    ap.add_argument("--class-lr-vertices", type=float, default=3e-4)
+    ap.add_argument("--class-lr-colors", type=float, default=2e-3)
+    ap.add_argument("--class-lr-lights", type=float, default=2e-3)
+    ap.add_argument("--from-params", default=None,
+                    help="skip the main soft fit and load fitted "
+                         "(scene, lights) from this npz (written as "
+                         "OUT/fitted_params.npz by a previous run) — "
+                         "polish-experiment iteration shortcut")
     args = ap.parse_args()
 
     import jax
@@ -249,7 +358,23 @@ def main():
         select=args.select,
     )
     t0 = time.time()
-    result = fit(target, scene0, camera, lights0, render_cfg, fit_cfg)
+    if args.from_params:
+        # Iteration shortcut: resume polish experiments from a saved
+        # fitted_params.npz instead of re-running the full soft fit.
+        from raytpu.opt.fit import FitResult
+
+        import numpy as np
+
+        scene_f, lights_f = _load_params(args.from_params, scene0,
+                                         lights0)
+        result = FitResult(scene=scene_f, lights=lights_f,
+                           losses=np.asarray([float("nan")]))
+        log(f"[fit_reference] loaded params from {args.from_params}")
+    else:
+        result = fit(target, scene0, camera, lights0, render_cfg,
+                     fit_cfg)
+        _save_params(os.path.join(args.out, "fitted_params.npz"),
+                     result.scene, result.lights)
 
     polish_evals = []
     if args.polish_steps > 0:
@@ -308,6 +433,47 @@ def main():
                 log(f"[fit_reference] polish step {i+1}: loss "
                     f"{float(ploss):.3e} agreement {score:.4f}")
         result = result._replace(scene=best[1][0], lights=best[1][1])
+
+    class_evals = []
+    if args.class_polish_steps > 0:
+        stages = tuple(
+            tuple(float(v) for v in part.split(","))
+            for part in args.class_stages.split(";") if part
+        )
+        cfg2 = FitConfig(
+            steps=args.class_polish_steps,
+            renderer="rasterize",
+            loss=args.loss,
+            lr_vertices=args.class_lr_vertices,
+            lr_colors=args.class_lr_colors,
+            lr_lights=args.class_lr_lights,
+            lr_schedule="cosine",
+            stages=stages,
+            log_every=25,
+            checkpoint_dir=None,
+            image_dump_every=0,
+            stage_reset=True,
+            eval_fn=eval_agreement,
+            eval_every=args.eval_every,
+            select="best",
+            extra_loss=make_class_hinge(ref_classes, args.class_weight),
+        )
+        pre_score = eval_agreement(result.scene, result.lights)
+        log(f"[fit_reference] class polish start agreement "
+            f"{pre_score:.4f}")
+        result2 = fit(target, result.scene, camera, result.lights,
+                      render_cfg, cfg2)
+        step0 = args.steps + args.polish_steps
+        class_evals = [[step0 + int(s), round(v, 4)]
+                       for s, v in result2.evals]
+        # No-regression guard: the polish only replaces the params if
+        # its metric-best beats the pre-polish score.
+        if (result2.best_score is not None
+                and result2.best_score >= pre_score):
+            result = result._replace(scene=result2.scene,
+                                     lights=result2.lights)
+        log(f"[fit_reference] class polish best "
+            f"{result2.best_score}")
     wall = time.time() - t0
 
     fitted_hard = hard_render(result.scene, camera, result.lights, size)
@@ -335,8 +501,10 @@ def main():
             "fitted": agree_fit,
         },
         "eval_curve": [[int(s), round(v, 4)] for s, v in result.evals]
-                      + polish_evals,
+                      + polish_evals + class_evals,
         "polish_steps": args.polish_steps,
+        "class_polish_steps": args.class_polish_steps,
+        "class_weight": args.class_weight,
         "losses": [round(float(x), 8) for x in result.losses],
     }
     with open(os.path.join(args.out, "loss_curve.json"), "w") as f:

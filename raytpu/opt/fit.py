@@ -79,6 +79,12 @@ class FitConfig:
     eval_every: int = 0
     # "last" returns the final params; "best" returns the eval_fn-best.
     select: str = "last"
+    # Optional additive loss term: extra_loss(img) -> scalar, called on
+    # the soft render inside the jitted step and ADDED to the base loss.
+    # Lets callers align the surrogate with their true objective (e.g.
+    # bench/fit_reference.py's class-margin hinge at the metric's
+    # sampled pixels) without forking the training loop.
+    extra_loss: Callable | None = None
 
 
 class FitState(NamedTuple):
@@ -229,17 +235,21 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                             + jnp.mean((dxa - dxb) ** 2))
 
                 if fit_cfg.loss == "chroma":
-                    return (
+                    base = (
                         jnp.mean((chroma(img) - chroma(target)) ** 2)
                         + 0.05 * jnp.mean((img - target) ** 2)
                     )
-                if fit_cfg.loss == "chroma+edge":
-                    return (
+                elif fit_cfg.loss == "chroma+edge":
+                    base = (
                         jnp.mean((chroma(img) - chroma(target)) ** 2)
                         + 0.05 * jnp.mean((img - target) ** 2)
                         + 4.0 * edge_term(img, target)
                     )
-                return jnp.mean((img - target) ** 2)
+                else:
+                    base = jnp.mean((img - target) ** 2)
+                if fit_cfg.extra_loss is not None:
+                    base = base + fit_cfg.extra_loss(img)
+                return base
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             gnorm = optax.global_norm(grads)
