@@ -33,6 +33,13 @@ class FitConfig:
     lr_vertices: float = 1e-3
     lr_colors: float = 1e-2
     lr_lights: float = 1e-2
+    # Light COLOR gets its own group (defaults to lr_lights): channel-
+    # equal light color is what keeps channel-equal albedos rendering to
+    # channel-equal pixels, which the reference-screenshot class metric
+    # (C = g==b, Y = r==g, W = all within band) depends on — freezing it
+    # (0.0) preserves that structure exactly while position/intensity
+    # still adapt brightness.
+    lr_light_color: float | None = None
     renderer: str = "rasterize"  # or "raytrace"
     # 'mse'    — plain image MSE.
     # 'chroma+edge' — chroma plus a chroma-GRADIENT term (weight 4.0):
@@ -110,8 +117,8 @@ def _make_optimizer(fit_cfg: FitConfig, steps: int | None = None):
         return (
             Scene(v0="verts", v1="verts", v2="verts", color="colors",
                   active="frozen"),
-            Lights(position="lights", color="lights", intensity="lights",
-                   mask="frozen", jitter="frozen"),
+            Lights(position="lights", color="light_color",
+                   intensity="lights", mask="frozen", jitter="frozen"),
         )
 
     def lr(base):
@@ -125,11 +132,14 @@ def _make_optimizer(fit_cfg: FitConfig, steps: int | None = None):
                 f"unknown lr_schedule {fit_cfg.lr_schedule!r}")
         return base
 
+    lr_lc = (fit_cfg.lr_lights if fit_cfg.lr_light_color is None
+             else fit_cfg.lr_light_color)
     return optax.multi_transform(
         {
             "verts": optax.adam(lr(fit_cfg.lr_vertices)),
             "colors": optax.adam(lr(fit_cfg.lr_colors)),
             "lights": optax.adam(lr(fit_cfg.lr_lights)),
+            "light_color": optax.adam(lr(lr_lc)),
             "frozen": optax.set_to_zero(),
         },
         label_fn,
