@@ -316,6 +316,22 @@ def main():
     ap.add_argument("--class-lr-vertices", type=float, default=3e-4)
     ap.add_argument("--class-lr-colors", type=float, default=2e-3)
     ap.add_argument("--class-lr-lights", type=float, default=2e-3)
+    ap.add_argument("--class-loss", default="chroma",
+                    choices=["chroma", "chroma+edge", "mse", "none"],
+                    help="base pixel loss for the class polish; 'none' "
+                         "= hinge(+prox) only — the polish starts from "
+                         "eval-argmax params which are OFF the pixel "
+                         "loss's minimum, so any pixel term drags them "
+                         "straight back (measured ~-1% in 10 steps)")
+    ap.add_argument("--class-optimizer", default="adam",
+                    choices=["adam", "sgd"],
+                    help="sgd moves vertices in proportion to actual "
+                         "gradient (adam's normalization drifts EVERY "
+                         "vertex at lr scale under the masked hinge — "
+                         "measured to lose more cells than it fixes)")
+    ap.add_argument("--class-prox", type=float, default=0.0,
+                    help="proximal anchor weight around the polish "
+                         "start params (FitConfig.prox_to_init)")
     ap.add_argument("--class-mask", default="disagree",
                     choices=["disagree", "full"],
                     help="hinge target set: 'disagree' (static mask of "
@@ -520,10 +536,12 @@ def main():
         cfg2 = FitConfig(
             steps=args.class_polish_steps,
             renderer="rasterize",
-            loss=args.loss,
+            loss=args.class_loss,
             lr_vertices=args.class_lr_vertices,
             lr_colors=args.class_lr_colors,
             lr_lights=args.class_lr_lights,
+            optimizer=args.class_optimizer,
+            prox_to_init=args.class_prox,
             lr_schedule="cosine",
             stages=stages,
             log_every=25,

@@ -40,6 +40,18 @@ class FitConfig:
     # (0.0) preserves that structure exactly while position/intensity
     # still adapt brightness.
     lr_light_color: float | None = None
+    # "adam" (default) or "sgd". adam's per-coordinate normalization
+    # turns ANY nonzero gradient into a full lr-sized step — right for
+    # the global fit, wrong for surgical polish phases where only the
+    # parameters near a few target pixels should move (measured: a
+    # masked-hinge vertex polish under adam drifts EVERY vertex at lr
+    # scale and loses more cells than it fixes). sgd moves parameters
+    # in proportion to their actual gradient.
+    optimizer: str = "adam"
+    # Proximal anchor: adds prox_to_init * sum(mean((p - p_init)^2))
+    # over trainable params to the loss — a trust region around the
+    # starting point for polish phases.
+    prox_to_init: float = 0.0
     renderer: str = "rasterize"  # or "raytrace"
     # 'mse'    — plain image MSE.
     # 'chroma+edge' — chroma plus a chroma-GRADIENT term (weight 4.0):
@@ -134,12 +146,18 @@ def _make_optimizer(fit_cfg: FitConfig, steps: int | None = None):
 
     lr_lc = (fit_cfg.lr_lights if fit_cfg.lr_light_color is None
              else fit_cfg.lr_light_color)
+    if fit_cfg.optimizer == "adam":
+        opt = optax.adam
+    elif fit_cfg.optimizer == "sgd":
+        opt = optax.sgd
+    else:
+        raise ValueError(f"unknown optimizer {fit_cfg.optimizer!r}")
     return optax.multi_transform(
         {
-            "verts": optax.adam(lr(fit_cfg.lr_vertices)),
-            "colors": optax.adam(lr(fit_cfg.lr_colors)),
-            "lights": optax.adam(lr(fit_cfg.lr_lights)),
-            "light_color": optax.adam(lr(lr_lc)),
+            "verts": opt(lr(fit_cfg.lr_vertices)),
+            "colors": opt(lr(fit_cfg.lr_colors)),
+            "lights": opt(lr(fit_cfg.lr_lights)),
+            "light_color": opt(lr(lr_lc)),
             "frozen": optax.set_to_zero(),
         },
         label_fn,
@@ -184,6 +202,7 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
             resume_from, params, opt_state
         )
 
+    params_init = params  # prox_to_init anchor (post-resume)
     losses = []
     evals = []
     best_score, best_params = None, params
@@ -244,7 +263,16 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                     return (jnp.mean((dya - dyb) ** 2)
                             + jnp.mean((dxa - dxb) ** 2))
 
-                if fit_cfg.loss == "chroma":
+                if fit_cfg.loss == "none":
+                    # Pure extra_loss (+ prox) fit: polish phases that
+                    # restart from eval-argmax-selected params must NOT
+                    # re-expose them to the surrogate pixel loss — those
+                    # params are off the surrogate's minimum by
+                    # construction, so its gradient immediately drags
+                    # them back (measured: every chroma-based polish
+                    # lost ~1% agreement within 10 steps).
+                    base = jnp.float32(0.0)
+                elif fit_cfg.loss == "chroma":
                     base = (
                         jnp.mean((chroma(img) - chroma(target)) ** 2)
                         + 0.05 * jnp.mean((img - target) ** 2)
@@ -259,6 +287,16 @@ def fit(target, scene0: Scene, camera: Camera, lights0: Lights,
                     base = jnp.mean((img - target) ** 2)
                 if fit_cfg.extra_loss is not None:
                     base = base + fit_cfg.extra_loss(img)
+                if fit_cfg.prox_to_init > 0.0:
+                    sq = jax.tree_util.tree_map(
+                        lambda q, q0: (jnp.mean((q - q0) ** 2)
+                                       if jnp.issubdtype(
+                                           jnp.asarray(q).dtype,
+                                           jnp.floating)
+                                       else jnp.float32(0.0)),
+                        p, params_init)
+                    base = base + fit_cfg.prox_to_init * sum(
+                        jax.tree_util.tree_leaves(sq))
                 return base
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
