@@ -254,6 +254,15 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
     (and the model-shard combine, parallel/render.py) is an add; one
     exp per (ray, source) instead of a log per (ray, triangle).
     Hard limit: any real occluder gives od >= 1 => T <= e^-16 ~ 0.
+
+    Saturation regime (measured): at very soft settings the SUM's
+    sigmoid tails dominate — with ~32 triangles at es <= ~10 every
+    non-occluding triangle contributes sigmoid(es * margin) ~ 0.1-0.3,
+    od >> 1 everywhere, and T = exp(-16 * od) underflows to exactly 0,
+    killing the direct term AND its light-parameter gradients. Anneal
+    the raytrace soft path from moderate sharpness (>= ~50), or train
+    through the rasterize path (no shadow term) at softer settings, as
+    bench/fit_reference.py does.
     """
     total = jnp.zeros(world.shape[0], world.dtype)
     denom = jnp.maximum(jnp.sum(lights.mask), 1.0)
