@@ -78,6 +78,17 @@ def class_agreement(img_u8, ref_u8, stride=10):
 import functools
 
 
+def _finite_or_none(x, ndigits=None):
+    """float for finite values, None (JSON null) otherwise — json.dump
+    would emit a bare NaN token, which strict parsers reject."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        return None
+    return round(x, ndigits) if ndigits is not None else x
+
+
 def _save_params(path, scene, lights):
     """Persist fitted (scene, lights) pytree leaves for --from-params."""
     import jax
@@ -94,7 +105,18 @@ def _load_params(path, scene_t, lights_t):
     d = np.load(path)
     leaves = [d[k] for k in
               sorted(d.files, key=lambda s: int(s.split("_")[1]))]
-    treedef = jax.tree_util.tree_flatten((scene_t, lights_t))[1]
+    tleaves, treedef = jax.tree_util.tree_flatten((scene_t, lights_t))
+    if len(leaves) != len(tleaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} leaves but the (scene, lights) "
+            f"template has {len(tleaves)} — saved with a different "
+            f"Scene/Lights layout?")
+    for i, (got, want) in enumerate(zip(leaves, tleaves)):
+        if np.shape(got) != np.shape(want):
+            raise ValueError(
+                f"{path}: leaf {i} shape {np.shape(got)} != template "
+                f"{np.shape(want)} (e.g. different pad_to or light "
+                f"capacity)")
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -112,18 +134,30 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
     optimizer feels each disagreeing cell directly instead of through
     its 100-pixel neighborhood average.
 
-    Margins (floats pre-quantization; decision list in _classify):
-      dominant-channel difference >= 0.044 (clears the 0.04 W-band plus
-      u8 rounding), secondary strict inequality >= 0.012 (~3 u8 steps),
-      equality bands |a-b| <= 0.0015 (u8 rounding resolution 1/255),
-      black total <= 0.016 / non-black >= 0.024. Satisfied cells
+    Margins (floats pre-quantization; decision list in _classify). The
+    metric classifies quantize_u8's TRUNCATED values (C++ float->int,
+    not rounding), so every float margin carries the worst-case
+    truncation slack: a float difference d can shrink to d - 1/255 in
+    u8, and a 3-channel sum by 3/255. With the margins below, zero
+    hinge at a sampled pixel IMPLIES the truncated u8 value classifies
+    as the target class for all inequality-defined classes
+    (fuzz-tested on- and off-grid in tests/test_class_hinge.py):
+      dominant-channel difference >= 0.048 (0.04 W-band + 1/255
+      truncation + slack), secondary strict inequality >= 0.012,
+      P-dodge |r-b| >= 0.105 (0.1 band + truncation), black total
+      <= 0.016 / non-black >= 0.036 (3-channel truncation above the
+      0.02 band). The equality classes C/Y (|a-b| <= 0.0015) are the
+      one exception: a float near-tie can still straddle a truncation
+      boundary — exact soundness there needs exact channel equality,
+      which is the structural case the fit relies on (frozen
+      channel-equal albedos x channel-equal light). Satisfied cells
       contribute exactly 0 (hinge), so pressure concentrates on the
-      violated cells and vanishes once the metric flips.
+      violated cells and vanishes once the margins are met.
     """
     import jax.numpy as jnp
     import numpy as np
 
-    DOM, SUB, EPS = 0.044, 0.012, 0.0015
+    DOM, SUB, EPS = 0.048, 0.012, 0.0015
     n_cells = float(ref_classes.size)
     # cell_mask (bool (50,50)): restrict the hinge to these cells. The
     # measured failure of the unmasked hinge (fit experiment logs,
@@ -145,18 +179,18 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
         s = img[::stride, ::stride, :]
         r, g, b = s[..., 0], s[..., 1], s[..., 2]
         tot = r + g + b
-        bright = hinge(0.024 - tot)
+        bright = hinge(0.036 - tot)
         per = {
             ".": hinge(tot - 0.016),
             "W": (hinge(jnp.abs(r - g) - 0.036)
                   + hinge(jnp.abs(g - b) - 0.036) + bright),
             "G": hinge(DOM - (g - r)) + hinge(SUB - (g - b)) + bright,
             # B must also dodge the earlier P branch (r>g and |r-b|<0.1):
-            # either g>=r or b-r>=0.1 suffices.
+            # either g>=r or b-r>=0.105 (0.1 + truncation) suffices.
             "B": (hinge(DOM - (b - g)) + hinge(SUB - (b - r))
-                  + hinge(-jnp.maximum(g - r, b - r - 0.1001)) + bright),
+                  + hinge(-jnp.maximum(g - r, b - r - 0.105)) + bright),
             "R": (hinge(DOM - (r - g)) + hinge(SUB - (r - b))
-                  + hinge(-jnp.maximum(g - b, r - b - 0.1001)) + bright),
+                  + hinge(-jnp.maximum(g - b, r - b - 0.105)) + bright),
             "P": (hinge(DOM - (r - g)) + hinge(SUB - (b - g))
                   + hinge(jnp.abs(r - b) - 0.095) + bright),
             # C and Y exist only via exact u8 channel equality (the
@@ -593,8 +627,11 @@ def main():
         "seed": args.seed,
         "vertex_noise": args.vertex_noise,
         "wall_s": round(wall, 1),
-        "loss_init": float(result.losses[0]),
-        "loss_final": float(result.losses[-1]),
+        # --from-params runs carry no main-fit loss history (NaN
+        # placeholder); emit null, not the bare NaN token json.dump
+        # would write (invalid strict JSON).
+        "loss_init": _finite_or_none(result.losses[0]),
+        "loss_final": _finite_or_none(result.losses[-1]),
         "stage_reset": args.stage_reset,
         "select": args.select,
         "class_agreement": {
@@ -607,7 +644,8 @@ def main():
         "polish_steps": args.polish_steps,
         "class_polish_steps": args.class_polish_steps,
         "class_weight": args.class_weight,
-        "losses": [round(float(x), 8) for x in result.losses],
+        "losses": [_finite_or_none(x, ndigits=8)
+                   for x in result.losses],
     }
     with open(os.path.join(args.out, "loss_curve.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -382,6 +382,13 @@ def load_checkpoint(path: str, params_template, opt_state_template):
         (params_template, opt_state_template)
     )
     n = len(leaves)
+    n_stored = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_stored != n:
+        raise ValueError(
+            f"{path}: checkpoint has {n_stored} leaves but the current "
+            f"(params, opt_state) template has {n} — the checkpoint "
+            f"predates a FitConfig/optimizer layout change (e.g. the "
+            f"light_color optimizer group) and cannot be resumed")
     stored = [data[f"leaf_{i}"] for i in range(n)]
     for i, (tpl, got) in enumerate(zip(leaves, stored)):
         if np.shape(tpl) != got.shape:

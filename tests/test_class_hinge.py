@@ -70,7 +70,7 @@ def test_hinge_soundness_fuzz(cls):
     class. Colors are drawn on the u8 grid (what quantize_u8 feeds the
     metric), so the equality bands (|a-b| <= 0.0015 < 1/255) imply exact
     u8 channel equality."""
-    rng = np.random.default_rng(hash(cls) % 2**32)
+    rng = np.random.default_rng(ord(cls))
     n = 50 * 50
     # Mix uniform colors with near-class colors so each class gets
     # plenty of zero-hinge samples, plus exact-equality structured draws
@@ -100,3 +100,40 @@ def test_hinge_soundness_fuzz(cls):
             f"{_classify(colors[y, x])!r}, wanted {cls!r}")
         checked += 1
     assert checked > 0, "fuzz produced no zero-hinge samples"
+
+
+@pytest.mark.parametrize("cls", [".", "W", "G", "B", "R", "P"])
+def test_hinge_soundness_offgrid_fuzz(cls):
+    """Truncation soundness: quantize_u8 TRUNCATES (C++ float->int), so
+    a float value can lose up to 1/255 per channel before the metric
+    sees it. For the inequality-defined classes the margins carry that
+    slack: zero hinge at an arbitrary FLOAT pixel => the truncated u8
+    pixel classifies as the target class. (The equality classes C/Y are
+    excluded: a float near-tie can straddle a truncation boundary —
+    their soundness requires exact channel equality, the structural
+    case the fit preserves by freezing channel-equal colors.)"""
+    from raytpu.core.image import quantize_u8
+
+    rng = np.random.default_rng(1000 + ord(cls))
+    n = 50 * 50
+    cols = rng.uniform(0.0, 1.0, size=(n, 3))
+    if cls == ".":
+        cols[n // 2:] = rng.uniform(0.0, 0.03, size=(n, 3))[n // 2:]
+    elif cls == "W":
+        base = rng.uniform(0.1, 1.0, size=n)
+        cols[n // 2:] = (base[:, None]
+                         + rng.uniform(-0.02, 0.02, size=(n, 3)))[n // 2:]
+    ref_classes = np.full((50, 50), cls)
+    hinge = make_class_hinge(ref_classes, weight=1.0)
+    img = np.zeros((500, 500, 3), np.float32)
+    img[::10, ::10] = np.clip(cols, 0.0, 1.0).reshape(50, 50, 3)
+    active = _grad_active_cells(hinge, img)
+    u8 = np.asarray(quantize_u8(img))[::10, ::10]
+    checked = 0
+    for y, x in zip(*np.nonzero(~active)):
+        got = _classify(u8[y, x].astype(float))
+        assert got == cls, (
+            f"zero-hinge float {img[y*10, x*10]} truncates to "
+            f"{u8[y, x]} which classifies {got!r}, wanted {cls!r}")
+        checked += 1
+    assert checked > 0, "off-grid fuzz produced no zero-hinge samples"
