@@ -120,7 +120,8 @@ def _load_params(path, scene_t, lights_t):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
+def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None,
+                     windows=(1,)):
     """Differentiable surrogate of the class-agreement metric itself.
 
     The metric samples ONE pixel per 10x10 cell and runs _classify's
@@ -154,6 +155,7 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
       contribute exactly 0 (hinge), so pressure concentrates on the
       violated cells and vanishes once the margins are met.
     """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -171,12 +173,40 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
            else np.asarray(cell_mask, bool))
     masks = {str(k): jnp.asarray((ref_classes == k) & sel)
              for k in np.unique(ref_classes)}
+    # windows: box half-scales for a MULTI-SCALE hinge. The raster
+    # kernel's edge distance is in PIXELS, so at polish sharpness
+    # (es = 60) a silhouette >~ 1.5 px from the sampled pixel has
+    # coverage weight exp(-es*d) == 0.0 in f32 — the 1-px hinge has
+    # literally no gradient toward it (measured: the x=150 boundary
+    # line, 2-12 px off, survived every single-scale polish). Averaging
+    # the image over an s x s box centered on the sampled pixel before
+    # applying the same margins gives the hinge reach ~s/2 px with the
+    # correct pull direction; a wide window's margins are only
+    # satisfiable once the edge covers most of the box, which covers
+    # the center pixel — so coarse scales hand off to the exact 1-px
+    # term as the edge approaches. windows=(1,) is the metric-exact
+    # original.
+
+    def _pooled(img, s_w):
+        if s_w == 1:
+            return img[::stride, ::stride, :]
+        summed = jax.lax.reduce_window(
+            img, 0.0, jax.lax.add, (s_w, s_w, 1), (1, 1, 1), "SAME")
+        counts = jax.lax.reduce_window(
+            jnp.ones(img.shape[:2] + (1,), img.dtype), 0.0, jax.lax.add,
+            (s_w, s_w, 1), (1, 1, 1), "SAME")
+        return (summed / counts)[::stride, ::stride, :]
 
     def loss(img):
+        total = 0.0
+        for s_w in windows:
+            total = total + _cell_losses(_pooled(img, s_w))
+        return weight * total / (n_cells * len(windows))
+
+    def _cell_losses(s):
         def hinge(m):
             return jnp.maximum(m, 0.0)
 
-        s = img[::stride, ::stride, :]
         r, g, b = s[..., 0], s[..., 1], s[..., 2]
         tot = r + g + b
         bright = hinge(0.036 - tot)
@@ -205,7 +235,7 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None):
             if k in masks:
                 total = total + jnp.sum(
                     jnp.where(masks[k], cell_loss, 0.0))
-        return weight * total / n_cells
+        return total
 
     return loss
 
@@ -366,6 +396,12 @@ def main():
     ap.add_argument("--class-prox", type=float, default=0.0,
                     help="proximal anchor weight around the polish "
                          "start params (FitConfig.prox_to_init)")
+    ap.add_argument("--class-windows", default="1",
+                    help="comma list of box scales for the multi-scale "
+                         "hinge (e.g. '1,5,11'): wide windows give the "
+                         "hinge gradient reach beyond the f32 sigmoid "
+                         "tail's ~1.5 px at polish sharpness (see "
+                         "make_class_hinge)")
     ap.add_argument("--class-mask", default="disagree",
                     choices=["disagree", "full"],
                     help="hinge target set: 'disagree' (static mask of "
@@ -588,7 +624,9 @@ def main():
             extra_loss=make_class_hinge(
                 ref_classes, args.class_weight,
                 cell_mask=_disagree_mask(args, result, camera, size,
-                                         ref_classes)),
+                                         ref_classes),
+                windows=tuple(int(v) for v in
+                              args.class_windows.split(","))),
         )
         pre_score = eval_agreement(result.scene, result.lights)
         log(f"[fit_reference] class polish start agreement "
