@@ -67,36 +67,76 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _slope(time_at, n_lo, n_hi):
-    """Per-iteration ms via two-length differencing.
+def _lsq(xs, ys):
+    """Least-squares slope + intercept for y = a + b*x."""
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+    return b, my - b * mx
 
-    Round-3's per-call timing divided total wall by the iteration count,
+
+def _slope(time_at, lengths):
+    """Per-iteration ms via a REGRESSION over >= 3 chain lengths.
+
+    Rounds 1-3 divided one chain's wall time by its iteration count,
     which silently charged the tunnel's FIXED per-call dispatch cost
-    (~8 ms, measured in bench/megakernel_lab3.py: a no-op kernel 'times'
-    0.45 ms/iter at 20 iters while the real fused kernel slope is
-    0.249 ms) to every step. Differencing two chain lengths cancels the
-    fixed cost exactly — the reported number is the marginal
-    steady-state per-step time, which is the honest Mrays/s metric.
+    (~8 ms, bench/megakernel_lab3.py) to every step. Round 4 differenced
+    the batch MINIMA of two lengths — which cancels the fixed cost but
+    is an extreme-statistic estimator: one lucky-fast (or stalled) batch
+    at either endpoint moves the slope by (noise / delta-iters), and the
+    recorded BENCH_r04 forward (0.207 ms) disagreed with two validated
+    manual runs (0.33 ms) for exactly that reason (VERDICT r4 item 1).
+
+    Round 5: least-squares slope of the per-length batch MEDIAN over
+    >= 3 chain lengths (median is robust on BOTH sides: stalls inflate,
+    dispatch-overlap artifacts deflate), with an uncertainty that is the
+    half-spread of leave-one-out slopes — refit with each single batch
+    removed (any one batch's influence) and with each whole length
+    removed (any one length's influence); the reported unc_ms is the
+    max of the two half-spreads. Raw batch times for EVERY length are
+    carried in the diag so the artifact is auditable (VERDICT r4
+    weak #2: every row, not just the headline).
 
     time_at(n) -> list of per-call wall times (ms) for an n-iteration
-    chain. Returns (slope_ms, diag) where diag carries the raw batch
-    times (VERDICT r3 item 5: stalls must be visible, never silently
-    folded into the headline).
+    chain. Returns (slope_ms, diag).
     """
     import statistics
 
-    lo = time_at(n_lo)
-    hi = time_at(n_hi)
-    slope = (min(hi) - min(lo)) / (n_hi - n_lo)
-    if slope <= 0:  # a stall polluted every lo batch; conservative bound
-        slope = min(hi) / n_hi
+    lengths = sorted(lengths)
+    assert len(lengths) >= 3, "regression slope needs >= 3 chain lengths"
+    batches = {n: time_at(n) for n in lengths}
+
+    def fit(drop_len=None, drop_batch=None):
+        xs, ys = [], []
+        for n in lengths:
+            if n == drop_len:
+                continue
+            bs = list(batches[n])
+            if drop_batch is not None and drop_batch[0] == n:
+                bs = bs[:drop_batch[1]] + bs[drop_batch[1] + 1:]
+            xs.append(n)
+            ys.append(statistics.median(bs))
+        return _lsq(xs, ys)
+
+    slope, fixed = fit()
+    loo = [fit(drop_batch=(n, k))[0]
+           for n in lengths for k in range(len(batches[n]))]
+    loo_len = [fit(drop_len=n)[0] for n in lengths]
+    unc = max((max(loo) - min(loo)) / 2.0,
+              (max(loo_len) - min(loo_len)) / 2.0)
+    if slope <= 0:  # pathological stall pattern; conservative bound
+        slope = min(batches[lengths[-1]]) / lengths[-1]
+    hi = batches[lengths[-1]]
     diag = {
-        "fixed_ms": round(min(lo) - n_lo * slope, 2),
-        "batches_lo_ms": [round(t, 2) for t in lo],
-        "batches_hi_ms": [round(t, 2) for t in hi],
-        "n_lo": n_lo,
-        "n_hi": n_hi,
-        # typical-vs-best (median-based): a single stalled batch shows in
+        "slope_ms": round(slope, 4),
+        "unc_ms": round(unc, 4),
+        "fixed_ms": round(fixed, 2),
+        "lengths": lengths,
+        "batches_ms": {str(n): [round(t, 2) for t in batches[n]]
+                       for n in lengths},
+        # typical-vs-best at the longest chain: a stalled batch shows in
         # the raw lists above without dominating the scalar.
         "spread": round(
             (statistics.median(hi) - min(hi)) / min(hi), 3),
@@ -104,7 +144,7 @@ def _slope(time_at, n_lo, n_hi):
     return slope, diag
 
 
-def _time_batches(fn, args_for_batch, batches=4, reps=2):
+def _time_batches(fn, args_for_batch, batches=6, reps=2):
     """Per-call wall (ms): `reps` pipelined dispatches per batch, blocked
     once (overlapping the tunnel RTT as steady-state training would);
     args vary per (batch, rep) so the tunnel's value-replay cache can
@@ -122,13 +162,15 @@ def _time_batches(fn, args_for_batch, batches=4, reps=2):
     return times
 
 
-def _chain_train(render_fn, params, n_lo=10, n_hi=50, batches=4,
+def _chain_train(render_fn, params, lengths=(10, 30, 50), batches=6,
                  reps=2):
     """ms per fwd+bwd optimizer step: REAL optimizer steps chained in one
     executable (tiny lr so parameters stay put numerically), fixed
-    dispatch cost differenced out (see _slope)."""
-    import functools
+    dispatch cost regressed out (see _slope).
 
+    The chain length is a RUNTIME argument (fori_loop, dynamic trip
+    count), so one compile serves every length — a >=3-length regression
+    costs the same compile budget round 4 spent on two."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -141,70 +183,70 @@ def _chain_train(render_fn, params, n_lo=10, n_hi=50, batches=4,
     vag = jax.value_and_grad(loss_fn)
     opt = optax.sgd(1e-9)
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
+    @jax.jit
     def chained(p, os0, eps, iters):
         # eps (unique per call) perturbs the params at 1e-30 so no two
         # dispatches are value-identical (replay-cache guard).
         p = jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype), p)
-        def body(carry, _):
-            p_, os_ = carry
+        def body(_, carry):
+            p_, os_, _l = carry
             loss, g = vag(p_)
             upd, os2 = opt.update(g, os_, p_)
-            return (optax.apply_updates(p_, upd), os2), loss
-        return jax.lax.scan(body, (p, os0), None, length=iters)
+            return (optax.apply_updates(p_, upd), os2, loss)
+        return jax.lax.fori_loop(
+            0, iters, body, (p, os0, jnp.float32(0.0)))
 
     os0 = opt.init(params)
+    t0 = time.time()
+    jax.block_until_ready(
+        chained(params, os0, jnp.float32(0.0), lengths[0]))
+    log(f"[bench] train chain compile: {time.time()-t0:.1f}s")
 
     def time_at(n):
-        t0 = time.time()
-        jax.block_until_ready(
-            chained(params, os0, jnp.float32(0.0), iters=n))
-        log(f"[bench] train chain compile ({n} it): {time.time()-t0:.1f}s")
         return _time_batches(
             chained,
             lambda k: (params, os0, jnp.float32(k) * 1e-30, n),
             batches=batches, reps=reps,
         )
 
-    return _slope(time_at, n_lo, n_hi)
+    return _slope(time_at, lengths)
 
 
-def _chain_fwd(render_fn, params, n_lo=10, n_hi=50, batches=4,
+def _chain_fwd(render_fn, params, lengths=(10, 30, 50), batches=6,
                reps=2):
     """ms per forward frame, chained through the carry (the rendered
-    image feeds back into the parameters at weight 1e-20, so the scan
+    image feeds back into the parameters at weight 1e-20, so the loop
     body cannot be hoisted as loop-invariant); fixed dispatch cost
-    differenced out (see _slope)."""
-    import functools
-
+    regressed out (see _slope). Dynamic trip count: one compile serves
+    every chain length."""
     import jax
     import jax.numpy as jnp
 
     scene, rest = params[0], params[1:]
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
+    @jax.jit
     def fwd_chain(s, eps, iters):
         s = jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype), s)
-        def body(carry, _):
+        def body(_, carry):
             img = render_fn(carry, *rest)
             mean = jnp.mean(img) * 1e-20
-            s2 = jax.tree_util.tree_map(
+            return jax.tree_util.tree_map(
                 lambda a: a + mean.astype(a.dtype), carry
             )
-            return s2, jnp.mean(img)
-        return jax.lax.scan(body, s, None, length=iters)
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    t0 = time.time()
+    jax.block_until_ready(fwd_chain(scene, jnp.float32(0.0), lengths[0]))
+    log(f"[bench] fwd chain compile: {time.time()-t0:.1f}s")
 
     def time_at(n):
-        t0 = time.time()
-        jax.block_until_ready(fwd_chain(scene, jnp.float32(0.0), iters=n))
-        log(f"[bench] fwd chain compile ({n} it): {time.time()-t0:.1f}s")
         return _time_batches(
             fwd_chain,
             lambda k: (scene, jnp.float32(k) * 1e-30, n),
             batches=batches, reps=reps,
         )
 
-    return _slope(time_at, n_lo, n_hi)
+    return _slope(time_at, lengths)
 
 
 # Sustained per-test rate of the fused kernel, MEASURED by differencing
@@ -213,17 +255,20 @@ def _chain_fwd(render_fn, params, n_lo=10, n_hi=50, batches=4,
 MEASURED_GTESTS_S = 81.5
 
 
-def _roof_pct(fwd_ms, size, tris=32):
+def _roof_pct(fwd_ms, size, tris=32, unc_ms=0.0):
     """Forward-kernel utilization: plane-tests-only ideal (primary +
     shadow sweep at the kernel's measured sustained rate) over the
-    measured marginal FORWARD time. Round 3 compared 3x the ideal
-    against a train time that still contained the fixed dispatch cost;
-    with slope timing the backward does no plane sweeps (analytic VJP),
-    so the honest utilization statement is about the forward.
-    bench/ROOFLINE.md carries the full accounting."""
+    measured marginal FORWARD time, reported as a point estimate AND a
+    range over the slope uncertainty (VERDICT r4 item 1: gate the roof
+    claim on the estimator's error bar). The backward does no plane
+    sweeps (analytic VJP), so the utilization statement is about the
+    forward. bench/ROOFLINE.md carries the full accounting."""
     tests = 2.0 * size * size * tris
     ideal_ms = tests / (MEASURED_GTESTS_S * 1e9) * 1e3
-    return round(ideal_ms / fwd_ms * 100.0, 1)
+    pct = round(ideal_ms / fwd_ms * 100.0, 1)
+    lo = round(ideal_ms / (fwd_ms + unc_ms) * 100.0, 1)
+    hi = round(ideal_ms / max(fwd_ms - unc_ms, 1e-6) * 100.0, 1)
+    return pct, [lo, hi]
 
 
 def _result_json(res, impl, complete, size=512):
@@ -272,29 +317,34 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
     train_ms, diag = _chain_train(rt, (scene, lights))
     rays = 2 * size * size
     res["train_ms"] = round(train_ms, 3)
+    res["train_unc_ms"] = diag["unc_ms"]
     res["mrays"] = round(rays / train_ms / 1e3, 1)
-    res["timing"] = diag  # slope methodology + raw batches + spread
+    res["timing"] = diag  # regression slope + raw batches + spread
     res["spread"] = diag["spread"]
-    log(f"[bench] raytrace fwd+bwd: {train_ms:.3f} ms -> "
-        f"{res['mrays']} Mrays/s (fixed {diag['fixed_ms']} ms/call, "
-        f"spread {diag['spread']})")
+    log(f"[bench] raytrace fwd+bwd: {train_ms:.3f} +- "
+        f"{diag['unc_ms']:.3f} ms -> {res['mrays']} Mrays/s "
+        f"(fixed {diag['fixed_ms']} ms/call, spread {diag['spread']})")
     report(res, False)
 
     fwd_ms, fdiag = _chain_fwd(rt, (scene, lights))
     res["fwd_ms"] = round(fwd_ms, 3)
     res["fwd_mrays"] = round(rays / fwd_ms / 1e3, 1)
-    res["pct_roof_meas"] = _roof_pct(fwd_ms, size)
-    log(f"[bench] raytrace fwd-only: {res['fwd_ms']} ms -> "
-        f"{res['fwd_mrays']} Mrays/s ({res['pct_roof_meas']}% of "
-        "plane-test roof)")
+    res["fwd_timing"] = fdiag
+    pct, rng = _roof_pct(fwd_ms, size, unc_ms=fdiag["unc_ms"])
+    res["pct_roof_meas"] = pct
+    res["pct_roof_range"] = rng
+    log(f"[bench] raytrace fwd-only: {res['fwd_ms']} +- "
+        f"{fdiag['unc_ms']:.3f} ms -> {res['fwd_mrays']} Mrays/s "
+        f"({pct}% of plane-test roof, range {rng})")
     report(res, False)
 
     # --- hard rasterize fwd+bwd (BASELINE config 2) ---------------------
     rz = lambda s, l: rasterize(s, cam_rz, l, cfg)  # noqa: E731
-    rz_ms, _ = _chain_train(rz, (scene, lights))
+    rz_ms, rz_diag = _chain_train(rz, (scene, lights))
     res["rasterize"] = {
         "train_ms": round(rz_ms, 3),
         "mrays": round(size * size / rz_ms / 1e3, 1),
+        "timing": rz_diag,
     }
     log(f"[bench] rasterize fwd+bwd: {rz_ms:.3f} ms -> "
         f"{res['rasterize']['mrays']} Mrays/s")
@@ -305,20 +355,24 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
                             soft_edge_sharpness=40.0,
                             soft_z_sharpness=40.0, use_pallas=use_pallas)
     srt = lambda s, l: raytrace_soft(s, cam_rt, l, cfg_soft)  # noqa: E731
-    srt_ms, _ = _chain_train(srt, (scene, lights), n_lo=5, n_hi=25)
+    srt_ms, srt_diag = _chain_train(srt, (scene, lights),
+                                    lengths=(5, 15, 25))
     res["soft_raytrace"] = {
         "train_ms": round(srt_ms, 3),
         "mrays": round(rays / srt_ms / 1e3, 1),
+        "timing": srt_diag,
     }
     log(f"[bench] soft raytrace fwd+bwd: {srt_ms:.3f} ms -> "
         f"{res['soft_raytrace']['mrays']} Mrays/s")
     report(res, False)
 
     srz = lambda s, l: rasterize_soft(s, cam_rz, l, cfg_soft)  # noqa: E731
-    srz_ms, _ = _chain_train(srz, (scene, lights), n_lo=5, n_hi=25)
+    srz_ms, srz_diag = _chain_train(srz, (scene, lights),
+                                    lengths=(5, 15, 25))
     res["soft_rasterize"] = {
         "train_ms": round(srz_ms, 3),
         "mrays": round(size * size / srz_ms / 1e3, 1),
+        "timing": srz_diag,
     }
     log(f"[bench] soft rasterize fwd+bwd: {srz_ms:.3f} ms -> "
         f"{res['soft_rasterize']['mrays']} Mrays/s")
@@ -327,6 +381,41 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
     if core_only:
         report(res, True)
         return res
+
+    # --- the reference's toggled-on feature set (VERDICT r4 missing #1):
+    # AA 3x3 sub-rays, 16 jittered soft-shadow samples per light, TWO
+    # active lights, DoF post-blur — fwd+bwd through the multi-source
+    # Pallas path (raytracer.cpp:37-43,180-199,608-656).
+    try:
+        res["full_features"] = _bench_full_features(
+            size=size, use_pallas=use_pallas)
+        ff = res["full_features"]
+        log(f"[bench] full-featured fwd+bwd: {ff['train_ms']} ms -> "
+            f"{ff['mrays']} Mrays/s ({ff['rays_per_frame_m']} Mrays/frame)")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] full_features row failed: {type(e).__name__}: {e}")
+    report(res, True)
+
+    # --- BASELINE config 5's image size (VERDICT r4 missing #3): bare
+    # headline config at 1024x1024, pinning O(R) scaling at the target
+    # shape.
+    try:
+        cfg_1k = RenderConfig(width=1024, height=1024, mode="clean",
+                              use_pallas=use_pallas)
+        rt1k = lambda s, l: raytrace_full(  # noqa: E731
+            s, cam_rt, l, cfg_1k).image
+        ms_1k, diag_1k = _chain_train(rt1k, (scene, lights),
+                                      lengths=(5, 15, 25))
+        res["headline_1024"] = {
+            "train_ms": round(ms_1k, 3),
+            "mrays": round(2 * 1024 * 1024 / ms_1k / 1e3, 1),
+            "timing": diag_1k,
+        }
+        log(f"[bench] 1024^2 fwd+bwd: {ms_1k:.3f} ms -> "
+            f"{res['headline_1024']['mrays']} Mrays/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] headline_1024 row failed: {type(e).__name__}: {e}")
+    report(res, True)
 
     # --- soft at STL scale (VERDICT r3 item 3): 9,216-tri soft raster
     # fwd+bwd through the fused kernel, chunk-CULLED vs brute.
@@ -339,6 +428,19 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
             f"({soft_stl['speedup']}x)")
     except Exception as e:  # noqa: BLE001
         log(f"[bench] soft stl row failed: {type(e).__name__}: {e}")
+    report(res, True)
+
+    # --- soft RAYTRACE at STL scale (VERDICT r4 item 4): culled (bounded
+    # background logit, round 5) vs brute fwd+bwd at 9,216 triangles.
+    try:
+        row = _bench_soft_raytrace_stl(size=size, use_pallas=use_pallas)
+        res["soft_raytrace_stl"] = row
+        log(f"[bench] soft raytrace stl 9216-tri fwd+bwd: culled "
+            f"{row['train_culled_ms']} ms, brute "
+            f"{row['train_brute_ms']} ms ({row['speedup']}x)")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] soft raytrace stl row failed: "
+            f"{type(e).__name__}: {e}")
     report(res, True)
 
     # --- STL scale: acceleration-structure headline (VERDICT r3 item 7):
@@ -418,6 +520,47 @@ def _bench_sharded_1x1(size=256):
     }
 
 
+def _bench_full_features(size=512, use_pallas=None):
+    """The reference's toggled-on feature set, fwd+bwd: AA_SAMPLES=3
+    (9 sub-rays, `raytracer.cpp:37-38`), SOFT_SHADOWS_SAMPLES=16
+    (`:40-41`), DOF_ENABLED (`:43,608-656`), and a second runtime light
+    (`:180-199`) — through the multi-source fused Pallas path (one
+    launch per sub-ray covers the primary hit + all 32 shadow sources).
+    Rays/frame = R * 9 * (1 primary + 2 lights * 16 samples) = 297 R."""
+    import jax
+
+    from raytpu.core.cornell import cornell_box
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.render.raytrace import raytrace_full
+
+    scene = cornell_box(pad_to=32)
+    cam = Camera.raytracer_default()
+    lights = Lights.single(capacity=2, soft_samples=16).add(
+        (0.4, -0.5, -0.7), (1.0, 1.0, 1.0), 7.0,
+        key=jax.random.PRNGKey(1))
+    cfg = RenderConfig(width=size, height=size, mode="clean",
+                       aa_samples=3, soft_shadow_samples=16,
+                       dof_enabled=True, use_pallas=use_pallas)
+
+    def render(s, l):
+        return raytrace_full(s, cam, l, cfg).image
+
+    ms, diag = _chain_train(render, (scene, lights), lengths=(1, 3, 5),
+                            batches=6, reps=1)
+    n_sub = cfg.aa_samples ** 2
+    rays = size * size * n_sub * (1 + 2 * cfg.soft_shadow_samples)
+    return {
+        "train_ms": round(ms, 3),
+        "mrays": round(rays / ms / 1e3, 1),
+        "rays_per_frame_m": round(rays / 1e6, 1),
+        "aa_samples": cfg.aa_samples,
+        "soft_shadow_samples": cfg.soft_shadow_samples,
+        "lights": 2,
+        "dof": True,
+        "timing": diag,
+    }
+
+
 def _bench_soft_stl(size=512, use_pallas=None):
     """Soft (differentiable) rasterize fwd+bwd at STL scale, chunk-culled
     vs brute (kernels/soft_raster_pallas soft_keep_mask)."""
@@ -438,15 +581,52 @@ def _bench_soft_stl(size=512, use_pallas=None):
     def brute(s, l):
         return rasterize_soft_pallas(s, cam, l, cfg, cull=False)
 
-    ms_c, _ = _chain_train(culled, (scene, lights), n_lo=3, n_hi=10,
-                           batches=3)
-    ms_b, _ = _chain_train(brute, (scene, lights), n_lo=2, n_hi=4,
-                           batches=3, reps=1)
+    ms_c, diag_c = _chain_train(culled, (scene, lights),
+                                lengths=(3, 6, 10), batches=4)
+    ms_b, diag_b = _chain_train(brute, (scene, lights),
+                                lengths=(1, 2, 4), batches=4, reps=1)
     return {
         "tris": scene.num_triangles,
         "train_culled_ms": round(ms_c, 3),
         "train_brute_ms": round(ms_b, 3),
         "speedup": round(ms_b / ms_c, 2),
+        "timing_culled": diag_c,
+        "timing_brute": diag_b,
+    }
+
+
+def _bench_soft_raytrace_stl(size=512, use_pallas=None):
+    """Soft (differentiable) RAYTRACE fwd+bwd at STL scale: chunk-culled
+    (round-5 bounded-background-logit restructure makes the screen-space
+    cull sound for the raytracer too — see render/soft.py) vs brute."""
+    from raytpu.core.stl import load_reference_model
+    from raytpu.core.types import Camera, Lights, RenderConfig
+    from raytpu.render.soft import raytrace_soft
+
+    scene = load_reference_model(pad_to=9216)
+    cam = Camera.rasterizer_default()
+    lights = Lights.single(capacity=1)
+    cfg = RenderConfig(width=size, height=size, mode="soft",
+                       soft_edge_sharpness=40.0, soft_z_sharpness=40.0,
+                       use_pallas=use_pallas)
+
+    def culled(s, l):
+        return raytrace_soft(s, cam, l, cfg, cull=True)
+
+    def brute(s, l):
+        return raytrace_soft(s, cam, l, cfg, cull=False)
+
+    ms_c, diag_c = _chain_train(culled, (scene, lights),
+                                lengths=(2, 5, 8), batches=4, reps=1)
+    ms_b, diag_b = _chain_train(brute, (scene, lights),
+                                lengths=(1, 2, 3), batches=3, reps=1)
+    return {
+        "tris": scene.num_triangles,
+        "train_culled_ms": round(ms_c, 3),
+        "train_brute_ms": round(ms_b, 3),
+        "speedup": round(ms_b / ms_c, 2),
+        "timing_culled": diag_c,
+        "timing_brute": diag_b,
     }
 
 
@@ -479,15 +659,17 @@ def _bench_stl_cull(size=512):
             d, consts, cam.pos, scene.v0, scene.v1, scene.v2,
             image_hw=(size, size))
 
-    ms_b, _ = _chain_fwd(lambda d: brute(d).t, (dirs,), n_lo=3,
-                         n_hi=10, batches=3)
-    ms_c, _ = _chain_fwd(lambda d: culled(d).t, (dirs,), n_lo=5,
-                         n_hi=25, batches=3)
+    ms_b, diag_b = _chain_fwd(lambda d: brute(d).t, (dirs,),
+                              lengths=(3, 6, 10), batches=4)
+    ms_c, diag_c = _chain_fwd(lambda d: culled(d).t, (dirs,),
+                              lengths=(5, 15, 25), batches=4)
     return {
         "tris": scene.num_triangles,
         "brute_ms": round(ms_b, 3),
         "culled_ms": round(ms_c, 3),
         "speedup": round(ms_b / ms_c, 2),
+        "timing_brute": diag_b,
+        "timing_culled": diag_c,
     }
 
 
@@ -581,9 +763,9 @@ def main():
     ap.add_argument("--progressive", action="store_true",
                     help="print a JSON line after every completed metric "
                          "(child mode; the parent takes the last line)")
-    ap.add_argument("--pallas-timeout", type=float, default=560.0,
+    ap.add_argument("--pallas-timeout", type=float, default=900.0,
                     help="seconds allowed for the Pallas-path child")
-    ap.add_argument("--xla-timeout", type=float, default=150.0,
+    ap.add_argument("--xla-timeout", type=float, default=240.0,
                     help="seconds allowed for the XLA fallback child")
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the numpy-oracle baseline instead of "
