@@ -161,6 +161,25 @@ def make_class_hinge(ref_classes, weight, stride=10, cell_mask=None,
 
     DOM, SUB, EPS = 0.048, 0.012, 0.0015
     n_cells = float(ref_classes.size)
+    # Every hinged class; '?' is _classify's explicit fallback —
+    # legitimately unhinged, but a disagreeing '?' cell would be
+    # invisible to the polish, so say so; any OTHER unhinged class is a
+    # bug. (ADVICE r4.) Even box windows would center SAME-padded pools
+    # asymmetrically around the metric's sampled pixel — reject them.
+    hinged = {".", "W", "G", "B", "R", "P", "C", "Y"}
+    present = set(str(k) for k in np.unique(np.asarray(ref_classes)))
+    unknown = present - hinged - {"?"}
+    if unknown:
+        raise ValueError(
+            f"reference classes {sorted(unknown)} have no hinge term")
+    if "?" in present:
+        n_q = int(np.sum(np.asarray(ref_classes) == "?"))
+        print(f"[class_hinge] warning: {n_q} '?' cells carry no hinge "
+              "(unreachable by the polish)", file=sys.stderr)
+    for s_w in windows:
+        if s_w != 1 and s_w % 2 == 0:
+            raise ValueError(
+                f"--class-windows sizes must be odd (got {s_w})")
     # cell_mask (bool (50,50)): restrict the hinge to these cells. The
     # measured failure of the unmasked hinge (fit experiment logs,
     # round 4): hundreds of AGREEING cells carry small active margin
@@ -619,7 +638,11 @@ def main():
             image_dump_every=0,
             stage_reset=True,
             eval_fn=eval_agreement,
-            eval_every=args.eval_every,
+            # Clamp so the polish ALWAYS evaluates at least once — with
+            # eval_every > steps, best_score stays None and the
+            # no-regression guard silently discards the whole polish
+            # (ADVICE r4).
+            eval_every=min(args.eval_every, args.class_polish_steps),
             select="best",
             extra_loss=make_class_hinge(
                 ref_classes, args.class_weight,

@@ -168,8 +168,8 @@ def main():
         glob = jnp.concatenate(
             [cam_rt.pos, jnp.zeros((13,), jnp.float32)])[None, :]
         out = srt._primary_agg(
-            pri, glob, lights_table(l), dirs_t, es, zs,
-            float(cfg.ambient), l.capacity, 20.0, tile_p, chunk)
+            pri, glob, lights_table(l), dirs_t, None, es, zs,
+            float(cfg.ambient), l.capacity, 0.1, tile_p, chunk)
         return out[0:3].T
 
     run("primary", primary, (scene, lights))
@@ -179,14 +179,14 @@ def main():
     glob = jnp.concatenate(
         [cam_rt.pos, jnp.zeros((13,), jnp.float32)])[None, :]
     world0 = jax.lax.stop_gradient(srt._primary_agg(
-        pri, glob, lt, dirs_t, es, zs, float(cfg.ambient),
-        lights.capacity, 20.0, tile_p, chunk))[6:9]
+        pri, glob, lt, dirs_t, None, es, zs, float(cfg.ambient),
+        lights.capacity, 0.1, tile_p, chunk))[6:9]
 
     def shadow(s, l):
         shw = srt.shadow_tri_constants(s)
         srcs = jnp.concatenate(
             [l.position, jnp.zeros((l.capacity, 5), jnp.float32)], axis=1)
-        return srt._shadow_trans(shw, srcs, world0, es, zs,
+        return srt._shadow_trans(shw, srcs, world0, None, es, zs,
                                  tile_p, chunk).T
 
     run("shadow", shadow, (scene, lights))

@@ -271,7 +271,7 @@ def shadow_keep_mask(primary_keep: jax.Array, centers: jax.Array,
 
 def position_shadow_mask(pos: jax.Array, src_pos: jax.Array,
                          centers: jax.Array, radii: jax.Array,
-                         tile_r: int) -> jax.Array:
+                         tile_r: int, range_pad: float = 0.0) -> jax.Array:
     """Keep-mask (n_tiles, S, n_chunks) for shadow-only occlusion sweeps
     with KNOWN surface positions (the sharded path — positions are merged
     across devices before shadow rays exist).
@@ -282,6 +282,10 @@ def position_shadow_mask(pos: jax.Array, src_pos: jax.Array,
     shadow_keep_mask, but against the tile's own (exact) position bound,
     so it is fully conservative for every ray including misses (miss
     positions — the camera origin — are inside the tile bound too).
+
+    range_pad extends the |p - src| range cap (soft callers: the
+    sigmoid occlusion window reaches ~46/zs past the surface point —
+    soft_raytrace_pallas.soft_rt_shadow_mask; 0 for the hard test).
     """
     R = pos.shape[0]
     n_tiles = R // tile_r
@@ -309,7 +313,7 @@ def position_shadow_mask(pos: jax.Array, src_pos: jax.Array,
         cos_ang, tuple(x[..., None] if getattr(x, "ndim", 0) else x
                        for x in beta_t), beta_c,
     )
-    rhs = (d_t + pr[:, None])[:, :, None]
+    rhs = (d_t + pr[:, None])[:, :, None] + jnp.float32(range_pad)
     range_ok = (
         d_c - radii[None, None, :]
         <= rhs + _range_slack(d_c, radii[None, None, :], rhs)

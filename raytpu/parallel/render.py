@@ -332,10 +332,11 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
     from raytpu.kernels import soft_raytrace_pallas as srt
     from raytpu.kernels.soft_raster_pallas import lights_table
     from raytpu.render.raytrace import camera_ray_dirs
+    from raytpu.render.soft import _T_NEAR
 
     es = float(cfg.soft_edge_sharpness)
     zs = float(cfg.soft_z_sharpness)
-    t_far = 20.0
+    t_near = float(_T_NEAR)
 
     xs, ys = _block_grid(cfg, y0, rows)
     dirs = camera_ray_dirs(xs, ys, camera, cfg)  # (R, 3)
@@ -354,10 +355,12 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
     lt = lights_table(lights)
 
     out, m, s = srt._primary_agg_stats(
-        pri, glob, lt, dirs_t, es, zs, float(cfg.ambient),
-        lights.capacity, t_far, tile_p, chunk, interpret,
+        pri, glob, lt, dirs_t, None, es, zs, float(cfg.ambient),
+        lights.capacity, t_near, tile_p, chunk, interpret,
     )
-    comb = _soft_combine(out, m, s, -zs * t_far, MODEL_AXIS)
+    # Background logit 0 (round-5 bounded-background relaxation — the
+    # raytrace analog of the rasterizer's cleared-to-0 depth buffer).
+    comb = _soft_combine(out, m, s, 0.0, MODEL_AXIS)
     alb, world, nrm = comb[0:3], comb[3:6], comb[6:9]
 
     samples = max(cfg.soft_shadow_samples, 1)
@@ -372,7 +375,7 @@ def soft_raytrace_block(scene: Scene, camera: Camera, lights: Lights,
     # Per-shard transmittance exp(-kappa * od_local): the cross-shard
     # product equals exp(-kappa * sum od) — the optical depth is
     # shard-additive (render.soft._soft_shadow_factor).
-    trans_local = srt._shadow_trans(shw, srcs, world, es, zs,
+    trans_local = srt._shadow_trans(shw, srcs, world, None, es, zs,
                                     tile_p, chunk, interpret)  # (S, Rp)
     trans = jnp.prod(jax.lax.all_gather(trans_local, MODEL_AXIS), axis=0)
 

@@ -67,6 +67,46 @@ _MM = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 # T = e^-16 ~ 1e-7 (exact-black in f32 image terms); fully open gives 1.
 _OD_SCALE = 16.0
 
+# Round 5 (VERDICT r4 item 4): the soft raytracer's depth logit is
+# +zs * zinv with zinv = 1/max(metric dist, _T_NEAR) and a BACKGROUND
+# LOGIT OF 0 — mirroring the rasterizer's cleared-to-0 z-buffer
+# (`rasteriser.cpp:188`) instead of the old -zs * min(dist, t_far) with
+# its t_far miss sentinel. Consequences:
+#   * the hard limit is unchanged (argmax zinv == argmin dist for
+#     forward hits; misses/behind-camera are hard-gated to zero weight);
+#   * a hypothesis's logit is now BOUNDED ABOVE by zs * zinv of its
+#     chunk's nearest possible hit instead of unbounded-relative-to-
+#     background by zs * t_far, which makes the conservative screen-
+#     space chunk cull SOUND for the raytracer too (the old analysis
+#     needed a barycentric margin of ~22 to drop a chunk —
+#     bench/ROOFLINE.md "Soft culling coverage note"; the new one needs
+#     ~(46 + zs * zinv_chunk)/es, a few triangle-extents);
+#   * one zs unit means "per unit of inverse metric distance", matching
+#     the rasterizer's zinv semantics exactly.
+_T_NEAR = 0.1
+
+# Near-parallel gate: pairs with |d . n| below this relative threshold
+# are gated to exactly zero weight. Two reasons:
+#   * below ~1e-12 absolute, the MT denominator clamp destroys the
+#     barycentric identities outright (computed u, v are the true ones
+#     scaled toward 0, so the margin can read ~0 for a hit point that is
+#     arbitrarily far from the triangle);
+#   * between that and ~1e-3 relative, u and v are correct but carry
+#     relative error ~ ulp(dot)/|denom| — up to ~10% near the bottom of
+#     the range — and under the round-5 bounded logit (which no longer
+#     depth-suppresses grazing hypotheses the way the old -zs*dist form
+#     did) an es-scaled margin noise of that size makes pair weights
+#     differ by e^+-few between the XLA and Pallas evaluations of the
+#     same formula.
+# At 1e-3 the gate drops incidence angles within ~0.06 deg of exactly
+# edge-on (where a hypothesis is a sliver the rasterizer's area_ok test
+# would likewise drop) and everything kept is accurate to ~0.1%.
+# Also required for cull soundness: a gated pair contributes nothing
+# whether its chunk is kept or not, and every kept pair's computed
+# margin obeys the -D/(2E) distance bound (soft_raytrace_pallas
+# _MARGIN_PER_DIST note).
+_DENOM_EPS = 1e-3
+
 def shade_agg_raytrace(alb, pos, nrm, lights: Lights, ambient: float,
                        shadow) -> jax.Array:
     """Shade the aggregated raytrace surface: one irradiance evaluation
@@ -108,13 +148,17 @@ def shade_agg_raster(alb, ppx, zpx, nrm, camera: Camera, lights: Lights,
 def _ray_tri_tuv(dirs: jax.Array, v0, v1, v2, start: jax.Array):
     """Per-(ray, triangle) t, u, v via the matmul formulation
     (see raytpu.ops.intersect). dirs (R, 3), v0/v1/v2 (C, 3) ->
-    each (R, C)."""
+    t/u/v/denom (R, C) plus nmag (C,) = |cross(e1, e2)| for the
+    near-parallel gate (_DENOM_EPS)."""
     e1 = v1 - v0
     e2 = v2 - v0
     b = start[None, :] - v0
     n = jnp.cross(e1, e2)
     m = jnp.stack([n, jnp.cross(e2, b), jnp.cross(b, e1)], axis=1)
     k0 = jnp.sum(n * b, axis=-1)
+    n2 = jnp.sum(n * n, axis=-1)
+    nmag = jnp.sqrt(jnp.where(n2 > 0.0, n2, 1.0))
+    nmag = jnp.where(n2 > 0.0, nmag, 0.0)
     C = m.shape[0]
     prods = _MM(dirs, m.reshape(3 * C, 3).T).reshape(-1, C, 3)
     denom = -prods[..., 0]
@@ -122,7 +166,7 @@ def _ray_tri_tuv(dirs: jax.Array, v0, v1, v2, start: jax.Array):
     t = k0[None, :] / safe
     u = prods[..., 1] / safe
     v = prods[..., 2] / safe
-    return t, u, v
+    return t, u, v, denom, nmag
 
 
 def _chunked_scene(scene: Scene, chunk: int):
@@ -147,15 +191,26 @@ def _chunked_scene(scene: Scene, chunk: int):
 
 
 def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
-                  cfg: RenderConfig) -> jax.Array:
+                  cfg: RenderConfig, cull: bool | None = None) -> jax.Array:
     """Differentiable raytrace; returns (H, W, 3).
 
-    Round-4 relaxation (module docstring): logit = -z_sharpness *
-    min(t|d|, t_far) + log_sigmoid(edge_sharpness * margin) +
-    log(active), margin = min(u, v, 1-u-v); hypotheses aggregate
-    (albedo, position, normal) and shading runs once per ray on the
-    aggregate. Misses fall to a background hypothesis at t_far (black);
-    behind-camera plane hits are hard-gated to zero weight.
+    Round-5 relaxation (module docstring, _T_NEAR note): logit =
+    z_sharpness * zinv + log_sigmoid(edge_sharpness * margin) +
+    log(active), margin = min(u, v, 1-u-v), and zinv =
+    1/max(t|d|, dmin_tri, _T_NEAR) — the metric ray-plane-hit depth
+    through a BOUNDED inverse transform, floored per triangle by
+    dmin_tri = max(|o - centroid| - r_tri, 0) (a lower bound on the
+    distance from the origin to any triangle point). True hits satisfy
+    t|d| >= dmin_tri, so the hard limit is exact; plane-extension
+    pseudo-hits (a plane passing near the camera) are capped by the
+    triangle's REAL proximity instead of carrying a zs/_T_NEAR-scale
+    logit no margin could suppress. Hypotheses aggregate (albedo,
+    ray-hit position, normal) and shading runs once per ray on the
+    aggregate. The background hypothesis sits at
+    logit 0 (zinv -> 0: black at infinity — the raytrace analog of the
+    rasterizer's cleared-to-0 depth buffer, `rasteriser.cpp:188`);
+    behind-camera and near-parallel (_DENOM_EPS) plane hits are
+    hard-gated to zero weight.
 
     Shadows: optical-depth transmittance T = exp(-kappa * sum occ) at
     the aggregated hit position, averaged over the light's jittered
@@ -166,17 +221,17 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
     On TPU (cfg.pallas_enabled) this dispatches to the fused Pallas
     kernels with custom VJPs (raytpu.kernels.soft_raytrace_pallas) —
     same math to ~1e-5 rel; the jnp streaming path below is the
-    reference implementation and the CPU fallback.
+    reference implementation and the CPU fallback. `cull` (Pallas path
+    only) enables the conservative chunk cull on multi-chunk scenes.
     """
     if cfg.pallas_enabled:
         from raytpu.kernels.soft_raytrace_pallas import raytrace_soft_pallas
 
-        return raytrace_soft_pallas(scene, camera, lights, cfg)
+        return raytrace_soft_pallas(scene, camera, lights, cfg, cull=cull)
 
     xs, ys = pixel_grid(cfg)
     dirs = camera_ray_dirs(xs, ys, camera, cfg)
     R = dirs.shape[0]
-    t_far = jnp.float32(20.0)
     zs = jnp.float32(cfg.soft_z_sharpness)
     es = jnp.float32(cfg.soft_edge_sharpness)
     chunks = _chunked_scene(scene, cfg.raster_tri_chunk)
@@ -190,19 +245,39 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
 
     def body(carry, ch):
         m, s, acc = carry
-        t, u, v = _ray_tri_tuv(dirs, ch["v0"], ch["v1"], ch["v2"],
-                               camera.pos)
+        t, u, v, denom, nmag = _ray_tri_tuv(
+            dirs, ch["v0"], ch["v1"], ch["v2"], camera.pos)
         margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
-        fwd_ok = t > 1e-6
+        # Hard-gate behind-camera / near-parallel plane hits (exactly
+        # zero weight; clamp artifacts otherwise ghost — see _DENOM_EPS).
+        fwd_ok = (t > 1e-6) & (
+            jnp.abs(denom)
+            > _DENOM_EPS * dnorm[:, None] * nmag[None, :]
+        )
+        # Bounded inverse depth from the ray-plane hit: zinv =
+        # 1/max(t|d|, dmin_tri, _T_NEAR). For TRUE hits the hit point is
+        # on the triangle, so t|d| >= dist(origin, triangle) >= dmin_tri
+        # and the clamp is inactive — the hard limit is exact. For
+        # plane-EXTENSION pseudo-hits (a plane passing near the camera
+        # hits at tiny t) the per-triangle floor dmin_tri =
+        # max(|o - centroid| - r_tri, 0) caps the depth logit by the
+        # triangle's REAL proximity, so no margin-suppressible
+        # hypothesis can carry a zs/_T_NEAR-scale logit (hijack).
+        cen = (ch["v0"] + ch["v1"] + ch["v2"]) / 3.0
+        r2t = jnp.maximum(
+            jnp.maximum(jnp.sum((ch["v0"] - cen) ** 2, axis=-1),
+                        jnp.sum((ch["v1"] - cen) ** 2, axis=-1)),
+            jnp.sum((ch["v2"] - cen) ** 2, axis=-1))
+        oc = jnp.linalg.norm(cen - camera.pos[None, :], axis=-1)
+        dmin = jnp.maximum(oc - jnp.sqrt(r2t + 1e-20), 0.0)
         dist = t * dnorm[:, None]
+        zinv = 1.0 / jnp.maximum(
+            jnp.maximum(dist, dmin[None, :]), jnp.float32(_T_NEAR))
         logit = (
-            -zs * jnp.minimum(jnp.where(fwd_ok, dist, t_far), t_far)
+            zs * jnp.where(fwd_ok, zinv, 0.0)
             + jax.nn.log_sigmoid(es * margin)
             + jnp.log(ch["active"][None, :] + 1e-20)
         )
-        # Hard-gate behind-camera plane hits (exactly zero weight; the
-        # old form gave them background-level weight — ghost colors on
-        # miss rays in open scenes).
         logit = jnp.where(fwd_ok, logit, -1e30)
 
         tp = jnp.where(fwd_ok & (t < 3e38), t, 0.0)
@@ -218,11 +293,10 @@ def raytrace_soft(scene: Scene, camera: Camera, lights: Lights,
         acc_new = acc * scale[:, None] + jnp.einsum("rc,rcd->rd", w, num)
         return (m_new, s_new, acc_new), None
 
-    # Background hypothesis at t_far (black, zero attributes).
+    # Background hypothesis at logit 0 (black at infinity).
     dt = dirs.dtype
-    m0 = jnp.full((R,), -cfg.soft_z_sharpness * t_far, dt)
     init = (
-        m0,
+        jnp.zeros((R,), dt),
         jnp.ones((R,), dt),
         jnp.zeros((R, 9), dt),
     )
@@ -286,14 +360,18 @@ def _soft_shadow_factor(world: jax.Array, scene: Scene, lights: Lights,
             d_hat = delta / r[..., None]
 
             def body(od, ch, position=position, r=r, d_hat=d_hat):
-                t, u, v = _ray_tri_tuv(
+                t, u, v, denom, nmag = _ray_tri_tuv(
                     d_hat, ch["v0"], ch["v1"], ch["v2"], position
                 )
                 margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
                 cov = jax.nn.sigmoid(es * margin) * ch["active"][None, :]
+                # d_hat is unit, so the near-parallel gate (_DENOM_EPS)
+                # is relative to |n| alone.
+                ok = (t > 1e-6) & (
+                    jnp.abs(denom) > _DENOM_EPS * nmag[None, :]
+                )
                 occ_z = jnp.where(
-                    t > 1e-6,
-                    jax.nn.sigmoid(zs * (0.99 * r[:, None] - t)), 0.0,
+                    ok, jax.nn.sigmoid(zs * (0.99 * r[:, None] - t)), 0.0,
                 )
                 return od + jnp.sum(cov * occ_z, axis=1), None
 
