@@ -250,9 +250,11 @@ def _chain_fwd(render_fn, params, lengths=(10, 30, 50), batches=6,
 
 
 # Sustained per-test rate of the fused kernel, MEASURED by differencing
-# real kernels at STL scale (bench/roofline.py; 81.5 Gtests/s = 70% of
-# the v5e VPU lane spec for this instruction mix — see bench/ROOFLINE.md).
-MEASURED_GTESTS_S = 81.5
+# real kernels (bench/ROOFLINE.md). Round 5: the (8, tile/8) megakernel
+# sustains ~90 Gtests/s (T-sweep slope 64->128 at 512^2, regression-
+# timed; the round-4 (C, P)-layout kernels measured 81.5 at STL scale —
+# that rate still applies to the streaming multi-chunk paths).
+MEASURED_GTESTS_S = 90.0
 
 
 def _roof_pct(fwd_ms, size, tris=32, unc_ms=0.0):

@@ -42,14 +42,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _fwd_kernel_blk8(dirs_ref, blkp_ref, blks_ref, attrs_ref, par_ref,
+def _fwd_kernel_blk8(blkp_s, blks_s, attrs_s, par_s, dirs_ref,
                      out_ref, *, C: int, ambient: float, parity: bool):
     """Fused hard render, per-ray work on (8, P8) blocks.
 
-    dirs_ref: (24, P8) rows [dx x8 | dy x8 | dz x8]; blkp/blks: (4C, 3)
-    chunk-blocked constants (intersect_pallas._blocked_constants);
-    attrs_ref: (2C, 3) [nrm | alb]; out_ref: (32, P8) rows
-    [c0 x8 | c1 x8 | c2 x8 | fd x8].
+    Per-triangle constants and light/camera params arrive as SMEM
+    scalar-prefetch arrays (Mosaic rejects (1, 1) -> (8, P8) vector
+    broadcasts — "Broadcast in both sublanes and lanes" — but scalar *
+    vector is native). dirs_ref: (24, P8) rows [dx x8 | dy x8 | dz x8];
+    blkp_s/blks_s: flattened (4C, 3) chunk-blocked constants; attrs_s:
+    flattened (2C, 3) [nrm | alb]; par_s: [cam3, light3, p_eff3, dof];
+    out_ref: (32, P8) rows [c0 x8 | c1 x8 | c2 x8 | fd x8].
     """
     from raytpu.kernels.render_fused import _shade_rows
 
@@ -57,25 +60,21 @@ def _fwd_kernel_blk8(dirs_ref, blkp_ref, blks_ref, attrs_ref, par_ref,
     dy = dirs_ref[8:16, :]
     dz = dirs_ref[16:24, :]
 
-    def tri(ref, base, i):
-        row = ref[base + i:base + i + 1, :]
-        return row[:, 0:1], row[:, 1:2], row[:, 2:3]
-
     def sweep(ref, shadow, ddx, ddy, ddz):
         best_t = jnp.full(ddx.shape, _F32MAX, jnp.float32)
         best_i = jnp.full(ddx.shape, -1, jnp.int32)
         occ = jnp.zeros(ddx.shape, jnp.bool_)
         for i in range(C):
-            n0, n1, n2 = tri(ref, 0, i)
-            c20, c21, c22 = tri(ref, C, i)
-            c30, c31, c32 = tri(ref, 2 * C, i)
-            k0 = ref[3 * C + i:3 * C + i + 1, 0:1]
+            n0, n1, n2 = (ref[3 * i], ref[3 * i + 1], ref[3 * i + 2])
+            c2 = [ref[3 * (C + i) + j] for j in range(3)]
+            c3 = [ref[3 * (2 * C + i) + j] for j in range(3)]
+            k0 = ref[3 * (3 * C + i)]
             denom = -(ddx * n0 + ddy * n1 + ddz * n2)
             nonpar = denom != 0.0
             rec = 1.0 / jnp.where(nonpar, denom, 1.0)
             t = k0 * rec
-            u = (ddx * c20 + ddy * c21 + ddz * c22) * rec
-            v = (ddx * c30 + ddy * c31 + ddz * c32) * rec
+            u = (ddx * c2[0] + ddy * c2[1] + ddz * c2[2]) * rec
+            v = (ddx * c3[0] + ddy * c3[1] + ddz * c3[2]) * rec
             ok = ((u + v <= 1.0) & (u >= 0.0) & (v >= 0.0)
                   & (t >= 0.0) & nonpar)
             if shadow:
@@ -89,18 +88,22 @@ def _fwd_kernel_blk8(dirs_ref, blkp_ref, blks_ref, attrs_ref, par_ref,
             return occ
         return best_t, best_i
 
-    best_t, best_idx = sweep(blkp_ref, False, dx, dy, dz)
+    best_t, best_idx = sweep(blkp_s, False, dx, dy, dz)
     hit = best_t < _F32MAX
     tz = jnp.where(hit, best_t, 0.0)
 
     def par_get(r, c):
-        return par_ref[r:r + 1, c:c + 1]
+        if c == 0:
+            return par_s[r]          # cam (r<3) / light (3<=r<6)
+        if c == 1:
+            return par_s[6 + r]      # p_eff
+        return par_s[9]              # dof
 
     d2 = [
         (par_get(j, 0) + tz * dd) - par_get(3 + j, 0)
         for j, dd in ((0, dx), (1, dy), (2, dz))
     ]
-    occ_b = sweep(blks_ref, True, d2[0], d2[1], d2[2])
+    occ_b = sweep(blks_s, True, d2[0], d2[1], d2[2])
 
     # Winner gather: per-triangle select-accumulate at (8, P8).
     n_rows = [jnp.zeros_like(tz) for _ in range(3)]
@@ -109,9 +112,9 @@ def _fwd_kernel_blk8(dirs_ref, blkp_ref, blks_ref, attrs_ref, par_ref,
         sel = best_idx == i
         for j in range(3):
             n_rows[j] = jnp.where(
-                sel, attrs_ref[i:i + 1, j:j + 1], n_rows[j])
+                sel, attrs_s[3 * i + j], n_rows[j])
             alb_rows[j] = jnp.where(
-                sel, attrs_ref[C + i:C + i + 1, j:j + 1], alb_rows[j])
+                sel, attrs_s[3 * (C + i) + j], alb_rows[j])
 
     out = _shade_rows(dx, dy, dz, tz, hit, occ_b, n_rows, alb_rows,
                       par_get, ambient=ambient, parity=parity)
@@ -160,28 +163,27 @@ def fused_fwd_blk8(dirs_t, m, k0, valid, m_l, k0_l, nrm, alb, par, *,
     dirs8 = _blk8(dirs_t, tile_r)  # (24, Rp/8)
     p8 = tile_r // 8
 
+    par_flat = jnp.concatenate(
+        [par[0:3, 0], par[3:6, 0], par[0:3, 1], par[0:1, 2]])
     kernel = functools.partial(_fwd_kernel_blk8, C=C, ambient=ambient,
                                parity=parity)
-    out8 = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
         grid=(Rp // tile_r,),
         in_specs=[
-            pl.BlockSpec((24, p8), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * C, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
+            pl.BlockSpec((24, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((32, p8), lambda i: (0, i),
+        out_specs=pl.BlockSpec((32, p8), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
+    )
+    out8 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((32, Rp // 8), jnp.float32),
         interpret=_interpret_mode(),
-    )(dirs8, blk_p, blk_s, attrs, par)
+    )(blk_p.reshape(-1), blk_s.reshape(-1), attrs.reshape(-1), par_flat,
+      dirs8)
     return out8
 
 

@@ -369,13 +369,14 @@ class RenderConfig:
     # interpreted off-TPU — correct but slow, so tests opt in explicitly).
     use_pallas: bool | None = None
     # Route the headline config through the single-launch megakernel
-    # (kernels/render_fused.py). Implemented for VERDICT r3 item 1 and
-    # MEASURED SLOWER than the split design (fwd 0.31 vs 0.23 ms at
-    # 512^2: per-ray shading on (1, tile) rows is latency-bound in
-    # Mosaic, while the XLA epilogue runs at (R,)-array ILP with MXU
-    # one-hot gathers — bench/megakernel_lab4.py). Kept as an option;
-    # off by default.
-    megakernel: bool = False
+    # (kernels/render_fused.py). Round 4 measured the (1, tile)-row form
+    # LOSING to the split design (per-ray shading on one sublane of each
+    # vreg is latency-bound); round 5's (8, tile/8) re-blocking
+    # (bench/megakernel_lab6.py) runs the same math at full vreg density
+    # and WINS both directions — fwd 0.197 vs 0.317 ms, fwd+bwd 0.392
+    # vs 0.479 ms at 512^2 — so it is now the default for the eligible
+    # config (one light, hard shadows, one sub-ray, single chunk).
+    megakernel: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

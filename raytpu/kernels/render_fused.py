@@ -225,6 +225,284 @@ def _bwd_kernel(dirs_ref, idx_ref, occ_ref, gc_ref, gfd_ref,
     gdirs_ref[2:3, :] = ddz
 
 
+def _fwd_kernel_blk8(blkp_s, blks_s, attrs_s, par_s, dirs_ref,
+                     color_ref, idx_ref, occ_ref, *,
+                     C: int, ambient: float, parity: bool):
+    """The round-5 forward: per-ray work on (8, P8) sublane blocks.
+
+    Round 4 measured the (1, tile)-row megakernel LOSING ~0.08 ms to
+    the split design: per-ray rows occupy one sublane of each (8, 128)
+    vreg, so every elementwise op runs at 1/8 density and the
+    divide/sqrt chains are latency-bound. Re-blocking the ray tile to
+    (8, tile/8) (bench/megakernel_lab6.py) runs the SAME math at full
+    vreg density: 0.174 ms vs 0.380 ms (1-row fused) vs 0.320 ms
+    (split) per 512^2 forward, bit-identical output.
+
+    Mosaic constraints that shape this kernel (measured, not guessed):
+      * (1, P) -> (8, P/8) in-kernel reshapes are rejected
+        ("unsupported shape cast") — the ray tile is pre-blocked
+        OUTSIDE the kernel (a free XLA transpose);
+      * (1, 1) -> (8, P8) vector broadcasts are rejected ("Broadcast in
+        both sublanes and lanes") — per-triangle constants and params
+        arrive as SMEM scalar-prefetch arrays (scalar * vector is
+        native).
+
+    blkp_s/blks_s: flattened (4C, 3) chunk-blocked constants
+    (primary / shadow); attrs_s: flattened (2C, 3) [nrm | alb]; par_s:
+    [cam3, light3, p_eff3, dof]; dirs_ref: (24, P8) rows
+    [dx x8 | dy x8 | dz x8]; color_ref: (32, P8) rows
+    [c0 x8 | c1 x8 | c2 x8 | fd x8]; idx/occ: (8, P8) int32.
+    """
+    dx = dirs_ref[0:8, :]
+    dy = dirs_ref[8:16, :]
+    dz = dirs_ref[16:24, :]
+
+    def sweep(ref, shadow, ddx, ddy, ddz):
+        best_t = jnp.full(ddx.shape, _F32MAX, jnp.float32)
+        best_i = jnp.full(ddx.shape, -1, jnp.int32)
+        occ = jnp.zeros(ddx.shape, jnp.bool_)
+        for i in range(C):
+            n0, n1, n2 = (ref[3 * i], ref[3 * i + 1], ref[3 * i + 2])
+            c2 = [ref[3 * (C + i) + j] for j in range(3)]
+            c3 = [ref[3 * (2 * C + i) + j] for j in range(3)]
+            k0 = ref[3 * (3 * C + i)]
+            # Same FMA formulation and <=-update tie-break as
+            # _chunk_tuv + the min/max-iota resolve: bit-identical t
+            # and last-wins winner (`raytracer.cpp:243`).
+            denom = -(ddx * n0 + ddy * n1 + ddz * n2)
+            nonpar = denom != 0.0
+            rec = 1.0 / jnp.where(nonpar, denom, 1.0)
+            t = k0 * rec
+            u = (ddx * c2[0] + ddy * c2[1] + ddz * c2[2]) * rec
+            v = (ddx * c3[0] + ddy * c3[1] + ddz * c3[2]) * rec
+            ok = ((u + v <= 1.0) & (u >= 0.0) & (v >= 0.0)
+                  & (t >= 0.0) & nonpar)
+            if shadow:
+                occ = occ | (ok & (t < 0.99))
+            else:
+                tm = jnp.where(ok, t, _F32MAX)
+                upd = tm <= best_t
+                best_t = jnp.where(upd, tm, best_t)
+                best_i = jnp.where(upd, i, best_i)
+        if shadow:
+            return occ
+        return best_t, best_i
+
+    best_t, best_idx = sweep(blkp_s, False, dx, dy, dz)
+    hit = best_t < _F32MAX
+    idx_ref[:, :] = jnp.where(hit, best_idx, -1)
+    tz = jnp.where(hit, best_t, 0.0)
+
+    def par_get(r, c):
+        if c == 0:
+            return par_s[r]          # cam (r<3) / light (3<=r<6)
+        if c == 1:
+            return par_s[6 + r]      # p_eff
+        return par_s[9]              # dof
+
+    d2 = [
+        (par_get(j, 0) + tz * dd) - par_get(3 + j, 0)
+        for j, dd in ((0, dx), (1, dy), (2, dz))
+    ]
+    occ_b = sweep(blks_s, True, d2[0], d2[1], d2[2])
+    occ_ref[:, :] = jnp.where(occ_b, 1, 0)
+
+    # Winner gather: per-triangle select at (8, P8) (exactly one row
+    # matches, so the select chain equals the one-hot sum bitwise).
+    n_rows = [jnp.zeros_like(tz) for _ in range(3)]
+    alb_rows = [jnp.zeros_like(tz) for _ in range(3)]
+    for i in range(C):
+        sel = best_idx == i
+        for j in range(3):
+            n_rows[j] = jnp.where(sel, attrs_s[3 * i + j], n_rows[j])
+            alb_rows[j] = jnp.where(
+                sel, attrs_s[3 * (C + i) + j], alb_rows[j])
+
+    out = _shade_rows(dx, dy, dz, tz, hit, occ_b, n_rows, alb_rows,
+                      par_get, ambient=ambient, parity=parity)
+    for j in range(3):
+        color_ref[8 * j:8 * (j + 1), :] = out[j]
+    color_ref[24:32, :] = out[3]
+
+
+def _blk8(a_t, tile_r):
+    """(k, Rp) row-major -> (8k, Rp/8): per tile, each row becomes 8
+    sublane rows of tile_r/8 columns (free XLA reshape/transpose)."""
+    k, Rp = a_t.shape
+    n_tiles = Rp // tile_r
+    p8 = tile_r // 8
+    a = a_t.reshape(k, n_tiles, 8, p8)
+    return a.transpose(0, 2, 1, 3).reshape(k * 8, n_tiles * p8)
+
+
+def _unblk8(a8, tile_r):
+    """Inverse of _blk8 for one logical row group."""
+    k8, cols = a8.shape
+    k = k8 // 8
+    p8 = tile_r // 8
+    n_tiles = cols // p8
+    a = a8.reshape(k, 8, n_tiles, p8)
+    return a.transpose(0, 2, 1, 3).reshape(k, n_tiles * tile_r)
+
+
+def _fused_fwd_raw8(dirs_t, m, k0, valid, m_l, k0_l, nrm, alb, par, *,
+                    tile_r: int, tri_chunk: int, ambient: float,
+                    parity: bool):
+    """blk8 forward; same outputs/order as _fused_fwd_raw (the blocked
+    layout is internal — outputs are unblocked back to ray order)."""
+    Rp = dirs_t.shape[1]
+    T = m.shape[0]
+    C = _tight_chunk(T, tri_chunk)
+    if T > C:
+        raise ValueError(f"render_fused is single-chunk only (T={T} > {C})")
+    blk_p, _ = _blocked_constants(m, k0, valid, C)
+    blk_s, _ = _blocked_constants(m_l, k0_l, valid, C)
+    attrs = jnp.concatenate([_pad_tri(nrm, C), _pad_tri(alb, C)], axis=0)
+    par_flat = jnp.concatenate(
+        [par[0:3, 0], par[3:6, 0], par[0:3, 1], par[0:1, 2]])
+
+    dirs8 = _blk8(dirs_t, tile_r)
+    p8 = tile_r // 8
+    kernel = functools.partial(_fwd_kernel_blk8, C=C, ambient=ambient,
+                               parity=parity)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Rp // tile_r,),
+        in_specs=[
+            pl.BlockSpec((24, p8), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((32, p8), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p8), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, p8), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    cfd8, idx8, occ8 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((32, Rp // 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp // 8), jnp.int32),
+            jax.ShapeDtypeStruct((8, Rp // 8), jnp.int32),
+        ],
+        interpret=_interpret_mode(),
+    )(blk_p.reshape(-1), blk_s.reshape(-1), attrs.reshape(-1), par_flat,
+      dirs8)
+    color = _unblk8(cfd8[0:24], tile_r)
+    fd = _unblk8(cfd8[24:32], tile_r)
+    idx = _unblk8(idx8, tile_r)
+    occ = _unblk8(occ8, tile_r)
+    return color, fd, idx, occ
+
+
+def _bwd_kernel_blk8(attrs_s, blkp_s, par_s, dirs_ref, idx_ref, occ_ref,
+                     gc_ref, dgath_ref, dpar_ref, ddirs_ref, *,
+                     C: int, ambient: float, parity: bool):
+    """Round-5 backward, per-ray piece at (8, P8) density.
+
+    Recomputes the winner's gathered rows (per-triangle select, as the
+    forward) and differentiates the shading chain wrt the GATHERED
+    per-ray values + params + dirs with one jax.vjp — all at full vreg
+    density. The per-triangle scatter of the gathered-value cotangents
+    happens in _scatter_kernel (a (C, P)-shaped masked reduction, which
+    was never the latency problem). Params are lifted to (8, P8) rows
+    inside f so their cotangents come out as rows (summed to scalars in
+    XLA); SMEM scalars themselves cannot be vjp'd.
+
+    dirs_ref (24, P8); idx/occ (8, P8); gc_ref (32, P8)
+    [gc0 x8|gc1 x8|gc2 x8|gfd x8]. Outputs: dgath (80, P8) = 10 rows x8
+    [n xyz, k0, nrm xyz, alb xyz], dpar (80, P8) = 10 rows x8
+    [cam xyz, light xyz, p_eff xyz, dof], ddirs (24, P8).
+    """
+    dx = dirs_ref[0:8, :]
+    dy = dirs_ref[8:16, :]
+    dz = dirs_ref[16:24, :]
+    best_idx = idx_ref[:, :]
+    hit = best_idx >= 0
+    occ_b = occ_ref[:, :] > 0
+
+    # Winner rows (same select chain as the forward — bit-identical).
+    zeros = jnp.zeros(dx.shape, jnp.float32)
+    gath = [zeros] * 10  # n0 n1 n2 k0 nrm0..2 alb0..2
+    for i in range(C):
+        sel = best_idx == i
+        for j in range(3):
+            gath[j] = jnp.where(sel, blkp_s[3 * i + j], gath[j])
+            gath[4 + j] = jnp.where(sel, attrs_s[3 * i + j], gath[4 + j])
+            gath[7 + j] = jnp.where(
+                sel, attrs_s[3 * (C + i) + j], gath[7 + j])
+        gath[3] = jnp.where(sel, blkp_s[3 * (3 * C + i)], gath[3])
+
+    ones = jnp.ones(dx.shape, jnp.float32)
+    parv = [par_s[k] * ones for k in range(10)]
+
+    def f(gth, pv, ddx, ddy, ddz):
+        def par_get(r, c):
+            if c == 0:
+                return pv[r]
+            if c == 1:
+                return pv[6 + r]
+            return pv[9]
+
+        n_i = gth[0:3]
+        k0_i = gth[3]
+        nrm_i = gth[4:7]
+        alb_i = gth[7:10]
+        denom = -(ddx * n_i[0] + ddy * n_i[1] + ddz * n_i[2])
+        safe = jnp.where(denom != 0.0, denom, 1.0)
+        tval = k0_i * (1.0 / safe)
+        tz = jnp.where(hit, tval, 0.0)
+        out = _shade_rows(ddx, ddy, ddz, tz, hit, occ_b, nrm_i, alb_i,
+                          par_get, ambient=ambient, parity=parity)
+        return tuple(out)
+
+    _, vjp_fn = jax.vjp(f, tuple(gath), tuple(parv), dx, dy, dz)
+    cots = (gc_ref[0:8, :], gc_ref[8:16, :], gc_ref[16:24, :],
+            gc_ref[24:32, :])
+    dgath, dpar, ddx, ddy, ddz = vjp_fn(cots)
+
+    for k in range(10):
+        dgath_ref[8 * k:8 * (k + 1), :] = dgath[k]
+        dpar_ref[8 * k:8 * (k + 1), :] = dpar[k]
+    ddirs_ref[0:8, :] = ddx
+    ddirs_ref[8:16, :] = ddy
+    ddirs_ref[16:24, :] = ddz
+
+
+def _scatter_kernel(idx_ref, dg_ref, gtab_ref, *, C: int):
+    """Per-triangle scatter of per-ray gathered-value cotangents:
+    gtab[i] += sum over rays with winner i of dg rows — (C, P)-shaped
+    masked reductions, VMEM-resident (4C, 3) output accumulated across
+    the whole grid. dg_ref: (10, tile) rows [n xyz, k0, nrm xyz,
+    alb xyz] in ray-row layout."""
+    i = pl.program_id(0)
+    best_idx = idx_ref[:, :]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (C, best_idx.shape[1]), dimension=0
+    )
+    win = (rows == best_idx) & (best_idx >= 0)
+
+    @pl.when(i == 0)
+    def _():
+        gtab_ref[:, :] = jnp.zeros_like(gtab_ref[:, :])
+
+    def col(base, j, k):
+        s = jnp.sum(jnp.where(win, dg_ref[k:k + 1, :], 0.0),
+                    axis=1, keepdims=True)  # (C, 1)
+        gtab_ref[base:base + C, j:j + 1] = (
+            gtab_ref[base:base + C, j:j + 1] + s)
+
+    for j in range(3):
+        col(0, j, j)            # d n
+        col(2 * C, j, 4 + j)    # d nrm
+        col(3 * C, j, 7 + j)    # d alb
+    col(C, 0, 3)                # d k0
+
+
 def _params_block(cam_pos, light_pos, p_eff, dof_focus):
     par = jnp.zeros((8, 128), jnp.float32)
     par = par.at[0:3, 0].set(cam_pos)
@@ -331,7 +609,10 @@ def _call_fwd(dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos,
             [dirs_t, jnp.ones((3, pad), dirs.dtype)], axis=1
         )
     par = _params_block(cam_pos, light_pos, p_eff, dof_focus)
-    color, fd, idx, occ = _fused_fwd_raw(
+    # blk8 layout (round 5): bit-identical to _fused_fwd_raw and ~2.2x
+    # faster (see _fwd_kernel_blk8); the row-layout kernel is kept for
+    # the measurement labs.
+    color, fd, idx, occ = _fused_fwd_raw8(
         dirs_t, m, k0, valid, m_l, k0_l, nrm, alb, par,
         tile_r=tile_r, tri_chunk=tri_chunk, ambient=ambient, parity=parity,
     )
@@ -344,19 +625,20 @@ def _rhf_fwd(dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos, light_pos,
         dirs, m, k0, valid, m_l, k0_l, nrm, alb, cam_pos, light_pos,
         p_eff, dof_focus, tile_r, tri_chunk, ambient, parity,
     )
-    res = (dirs, m, k0, nrm, alb, cam_pos, light_pos, p_eff, dof_focus,
-           idx, occ)
+    res = (dirs, m, k0, valid, nrm, alb, cam_pos, light_pos, p_eff,
+           dof_focus, idx, occ)
     return (color, fd), res
 
 
 def _rhf_bwd(tile_r, tri_chunk, ambient, parity, res, cots):
-    (dirs, m, k0, nrm, alb, cam_pos, light_pos, p_eff, dof_focus,
+    (dirs, m, k0, valid, nrm, alb, cam_pos, light_pos, p_eff, dof_focus,
      idx, occ) = res
     g_color, g_fd = cots
     R = dirs.shape[0]
     Rp = idx.shape[1]
     T = m.shape[0]
     C = _tight_chunk(T, tri_chunk)
+    p8 = tile_r // 8
 
     def padr(a):  # (k, R) -> (k, Rp); padded-lane cotangents are zero
         if Rp > a.shape[1]:
@@ -371,66 +653,75 @@ def _rhf_bwd(tile_r, tri_chunk, ambient, parity, res, cots):
         dirs_t = jnp.concatenate(
             [dirs_t, jnp.ones((3, Rp - R), dirs.dtype)], axis=1
         )
-    gc = padr(g_color.T)
-    gfd = padr(g_fd[None, :])
+    gcfd = jnp.concatenate([padr(g_color.T), padr(g_fd[None, :])], axis=0)
 
-    k0_rows = jnp.stack(
-        [k0, jnp.zeros_like(k0), jnp.zeros_like(k0)], axis=1
-    )
-    tab = jnp.concatenate(
-        [_pad_tri(m[:, 0], C), _pad_tri(k0_rows, C),
-         _pad_tri(nrm, C), _pad_tri(alb, C)], axis=0,
-    )
-    par = _params_block(cam_pos, light_pos, p_eff, dof_focus)
+    blk_p, _ = _blocked_constants(m, k0, valid, C)
+    attrs = jnp.concatenate([_pad_tri(nrm, C), _pad_tri(alb, C)], axis=0)
+    par_flat = jnp.concatenate(
+        [cam_pos, light_pos, p_eff, dof_focus[None]])
 
-    kernel = functools.partial(_bwd_kernel, C=C, ambient=ambient,
-                               parity=parity)
-    gdirs, gtab, gpar = pl.pallas_call(
-        kernel,
+    # Per-ray piece at (8, P8) density (see _bwd_kernel_blk8).
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
         grid=(Rp // tile_r,),
         in_specs=[
-            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+            pl.BlockSpec((24, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+            pl.BlockSpec((8, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+            pl.BlockSpec((8, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_r), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
+            pl.BlockSpec((32, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((3, tile_r), lambda i: (0, i),
+            pl.BlockSpec((80, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+            pl.BlockSpec((80, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0),
+            pl.BlockSpec((24, p8), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    dgath8, dpar8, ddirs8 = pl.pallas_call(
+        functools.partial(_bwd_kernel_blk8, C=C, ambient=ambient,
+                          parity=parity),
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((4 * C, 3), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((80, Rp // 8), jnp.float32),
+            jax.ShapeDtypeStruct((80, Rp // 8), jnp.float32),
+            jax.ShapeDtypeStruct((24, Rp // 8), jnp.float32),
         ],
         interpret=_interpret_mode(),
-    )(dirs_t, idx, occ, gc, gfd, tab, par)
+    )(attrs.reshape(-1), blk_p.reshape(-1), par_flat,
+      _blk8(dirs_t, tile_r), _blk8(idx, tile_r), _blk8(occ, tile_r),
+      _blk8(gcfd, tile_r))
 
-    g_dirs = gdirs[:, :R].T
+    # Per-triangle scatter at (C, P) density.
+    dg = _unblk8(dgath8, tile_r)  # (10, Rp) ray-row layout
+    gtab = pl.pallas_call(
+        functools.partial(_scatter_kernel, C=C),
+        grid=(Rp // tile_r,),
+        in_specs=[
+            pl.BlockSpec((1, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, tile_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * C, 3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * C, 3), jnp.float32),
+        interpret=_interpret_mode(),
+    )(idx, dg)
+
+    gpar = jnp.sum(dpar8.reshape(10, 8, Rp // 8), axis=(1, 2))
+    g_dirs = _unblk8(ddirs8, tile_r)[:, :R].T
     g_m = jnp.zeros_like(m).at[:, 0].set(gtab[0:C, :][:T])
     g_k0 = gtab[C : 2 * C, 0][:T]
     g_nrm = gtab[2 * C : 3 * C, :][:T]
     g_alb = gtab[3 * C : 4 * C, :][:T]
-    g_cam = gpar[0:3, 0]
-    g_light = gpar[3:6, 0]
-    g_p_eff = gpar[0:3, 1]
-    g_dof = gpar[0, 2]
     return (g_dirs, g_m, g_k0, None, None, None, g_nrm, g_alb,
-            g_cam, g_light, g_p_eff, g_dof)
+            gpar[0:3], gpar[3:6], gpar[6:9], gpar[9])
 
 
 render_hard_fused.defvjp(_rhf_fwd, _rhf_bwd)

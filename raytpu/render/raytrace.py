@@ -117,12 +117,12 @@ def _raytrace_full(scene: Scene, camera: Camera, lights: Lights,
     big_scene = scene.num_triangles > 128
     # Fully-fused megakernel: ray shading, shadow test, winner gather,
     # compositing and the focal-distance channel all in ONE Pallas launch
-    # fwd and one bwd (kernels/render_fused.py) — the reference's
+    # fwd and two bwd (kernels/render_fused.py) — the reference's
     # never-leave-the-pixel-loop shape (`raytracer.cpp:547-606`) on-chip.
-    # OFF by default: measured SLOWER than the split kernel + XLA
-    # epilogue (see RenderConfig.megakernel and
-    # bench/megakernel_lab4.py); conditions: one light, hard shadows,
-    # one sub-ray, single triangle chunk.
+    # ON by default since round 5: the (8, tile/8) re-blocking runs the
+    # per-ray work at full vreg density and beats the split design both
+    # directions (RenderConfig.megakernel, bench/megakernel_lab6.py);
+    # conditions: one light, hard shadows, one sub-ray, single chunk.
     if (
         cfg.megakernel
         and cfg.pallas_enabled
