@@ -14,9 +14,14 @@ SURVEY.md §5.8):
     per-ray work), so winner gathers are local;
   * the training loss is `psum`'d over 'data' and `pmean`'d over 'model',
     and `jax.grad` through the shard_map produces replicated parameter
-    gradients with the cross-device reductions inserted by JAX — the psum
-    overlap with backward compute is XLA's scheduling job (BASELINE
-    config 5).
+    gradients with the cross-device reductions inserted by JAX. The psum
+    placement is DEMONSTRATED, not assumed (BASELINE config 5,
+    bench/OVERLAP.md + tests/test_overlap_schedule.py): on a scheduled
+    v5e:2x4 module the gradient psum compiles to ONE combined 1.57 KB
+    all-reduce issued one instruction after its last producer, a
+    per-leaf restructure is rejected by ring-latency arithmetic, and
+    the scheduler demonstrably overlaps the collectives that have
+    slack.
 
 DoF is intentionally not part of the sharded step (its 8x8 window would
 need a halo exchange across row shards; it is a post-process — apply it
