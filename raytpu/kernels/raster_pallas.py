@@ -87,6 +87,41 @@ def _kernel(px_ref, consts_ref, idx_ref, best_z_ref, best_idx_ref, *,
         idx_ref[:, :] = jnp.where(best_z > _NEG_INF, best_idx, -1)
 
 
+def _kernel_blk8(consts_s, px_ref, idx_ref, *, C: int):
+    """Single-chunk winner resolve at (8, P8) vreg density (round 5 —
+    same re-blocking as kernels/render_fused._fwd_kernel_blk8: per-ray
+    rows on (1, tile) occupy one sublane of each vreg and run the merge
+    chains at 1/8 density; measured 2x on the winner sweep).
+
+    consts_s: flattened (C, 16) rows via scalar prefetch (Mosaic rejects
+    (1,1)->(8,P8) broadcasts; scalar * vector is native), with INVALID
+    rows pre-folded (edge constant c0 = -3e38 makes coverage
+    impossible — bit-identical winners to the valid-flag test).
+    px_ref: (16, P8) rows [px x8 | py x8]; idx_ref: (8, P8) int32.
+    Tie-break: strict > update keeps the FIRST covering triangle
+    (`rasteriser.cpp:606`), matching _kernel's min-iota-at-max.
+    """
+    px = px_ref[0:8, :]
+    py = px_ref[8:16, :]
+    best_z = jnp.full(px.shape, _NEG_INF, jnp.float32)
+    best_i = jnp.full(px.shape, -1, jnp.int32)
+    for i in range(C):
+        def g(j, i=i):
+            return consts_s[16 * i + j]
+
+        e0 = g(0) * px + g(1) * py + g(2)
+        e1 = g(3) * px + g(4) * py + g(5)
+        e2 = g(6) * px + g(7) * py + g(8)
+        sdist = jnp.minimum(jnp.minimum(e0, e1), e2)
+        zpx = g(9) * px + g(10) * py + g(11)
+        covered = (sdist >= 0.0) & (zpx > 0.0)
+        z = jnp.where(covered, zpx, _NEG_INF)
+        upd = z > best_z
+        best_z = jnp.where(upd, z, best_z)
+        best_i = jnp.where(upd, i, best_i)
+    idx_ref[:, :] = jnp.where(best_z > _NEG_INF, best_i, -1)
+
+
 def raster_tri_constants(sx, sy, zinv, keep):
     """Per-triangle plane constants for the kernel.
 
@@ -333,6 +368,30 @@ def resolve_winner_pallas(px, py, consts, tile_p: int = 2048,
             idx[0], image_hw[0], image_hw[1], th, tw
         )
         return out
+
+    if n_chunks == 1 and tile_p % 8 == 0:
+        # Single-chunk (Cornell-scale) fast path at (8, P8) density.
+        from raytpu.kernels.render_fused import _blk8, _unblk8
+
+        folded = consts.at[:, 2].set(-3.0e38)
+        consts_f = jnp.where(consts[:, 12:13] > 0.0, consts, folded)
+        p8 = tile_p // 8
+        idx8 = pl.pallas_call(
+            functools.partial(_kernel_blk8, C=T),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Rp // tile_p,),
+                in_specs=[
+                    pl.BlockSpec((16, p8), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, p8), lambda i, *_: (0, i),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((8, Rp // 8), jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+        )(consts_f.reshape(-1), _blk8(coords, tile_p))
+        return _unblk8(idx8, tile_p)[0, :R]
 
     kernel = functools.partial(_kernel, tri_chunk=chunk)
     idx = pl.pallas_call(
