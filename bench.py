@@ -775,8 +775,10 @@ def main():
     ap.add_argument("--progressive", action="store_true",
                     help="print a JSON line after every completed metric "
                          "(child mode; the parent takes the last line)")
-    ap.add_argument("--pallas-timeout", type=float, default=900.0,
-                    help="seconds allowed for the Pallas-path child")
+    ap.add_argument("--pallas-timeout", type=float, default=1200.0,
+                    help="seconds allowed for the Pallas-path child "
+                         "(warm runs take ~550 s; progressive reporting "
+                         "preserves partial rows on a timeout)")
     ap.add_argument("--xla-timeout", type=float, default=240.0,
                     help="seconds allowed for the XLA fallback child")
     ap.add_argument("--measure-baseline", action="store_true",

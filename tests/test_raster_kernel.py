@@ -40,3 +40,34 @@ def test_raster_kernel_stl_scene():
     assert np.isfinite(img).all()
     frac = (img.sum(-1) > 1e-3).mean()
     assert 0.001 < frac < 0.2  # small model, mostly background
+
+
+def test_blk8_winner_matches_row_kernel():
+    """The round-5 (8, tile/8) single-chunk winner path must be
+    bit-identical to the (C, P) row-layout kernel (forced via a smaller
+    tri_chunk -> multi-chunk grid). Also verified on chip: 0/65536
+    mismatches at 256^2."""
+    import jax.numpy as jnp
+
+    from raytpu.kernels.raster_pallas import (
+        raster_tri_constants,
+        resolve_winner_pallas,
+    )
+    from raytpu.ops.raster import cull_mask
+    from raytpu.render.soft import _screen_vertices
+
+    scene = cornell_box(pad_to=32)
+    cam = Camera.rasterizer_default()
+    cfg = RenderConfig(width=40, height=40, mode="clean")
+    sx, sy, zinv, _ = _screen_vertices(scene, cam, cfg)
+    keep = cull_mask(scene, cam, cfg.replace(frustum_cull=False))
+    consts = raster_tri_constants(sx, sy, zinv, keep)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(40, dtype=jnp.float32),
+        jnp.arange(40, dtype=jnp.float32), indexing="ij")
+    px, py = xs.reshape(-1), ys.reshape(-1)
+    w_blk8 = np.asarray(
+        resolve_winner_pallas(px, py, consts, tile_p=256))
+    w_rows = np.asarray(
+        resolve_winner_pallas(px, py, consts, tile_p=256, tri_chunk=16))
+    np.testing.assert_array_equal(w_blk8, w_rows)
