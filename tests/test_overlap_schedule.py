@@ -65,6 +65,22 @@ def test_grad_psum_issued_as_soon_as_ready(schedule_facts):
     assert g["gap_after_last_producer"] <= 3, g
 
 
+def test_config5_shape_compiles_for_real_8chip_v5e():
+    """BASELINE config 5's actual shape — the 1024^2 sharded train step
+    on an 8-chip v5e — compiles to a scheduled module (AOT; real
+    multi-chip hardware is unavailable in this environment, so
+    compile-for-the-real-topology is the strongest available check
+    beyond the virtual-CPU dryrun's execution at 128^2)."""
+    try:
+        from overlap_probe import build_train_step
+
+        train_step, args = build_train_step(size=1024)
+        txt = train_step.lower(*args).compile().as_text()
+    except Exception as e:  # pragma: no cover - compile service hiccup
+        pytest.skip(f"AOT TPU compile unavailable: {type(e).__name__}: {e}")
+    assert "is_scheduled=true" in txt
+
+
 def test_scheduler_overlaps_where_slack_exists(schedule_facts):
     # At least one collective's consumers are sunk >= 20 instructions
     # past issue — independent compute scheduled under the collective.
