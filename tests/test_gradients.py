@@ -295,3 +295,32 @@ def test_soft_chunking_equivalence():
             fn(scene, cam, lights, RenderConfig(**base, raster_tri_chunk=8))
         )
         np.testing.assert_allclose(img1, img2, atol=2e-5, rtol=1e-4)
+
+
+def test_soft_raytracer_hard_limit():
+    """High sharpness must converge to the clean hard raytrace — the
+    round-5 bounded-background logit's hard limit is exact for true
+    hits (t|d| >= dmin floors only plane-extension pseudo-hits).
+
+    Threshold 0.98 (vs the rasterizer's 0.99): same SoftRas
+    coverage/depth coupling (a closer triangle's depth advantage bleeds
+    zs * dzinv / es past its edge — worse HERE in barycentric units
+    than the raster's pixel units for Cornell's large walls), plus
+    shadow-boundary pixels the rasterizer does not have.
+    """
+    from raytpu.render.raytrace import raytrace_full
+
+    scene = cornell_box()
+    size = 64
+    cam = Camera.make((0.011, -0.007, -2.013), focal=float(size) + 0.23,
+                      dof_focus=1.3)
+    lights = Lights.single(capacity=1)
+    hard = np.asarray(raytrace_full(
+        scene, cam, lights,
+        RenderConfig(width=size, height=size, mode="clean")).image)
+    soft = np.asarray(raytrace_soft(
+        scene, cam, lights,
+        RenderConfig(width=size, height=size, mode="soft",
+                     soft_edge_sharpness=4e4, soft_z_sharpness=4e3)))
+    diff = np.abs(hard - soft).max(axis=-1)
+    assert (diff < 5e-3).mean() > 0.98, f"{(diff < 5e-3).mean():.4f}"
