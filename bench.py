@@ -271,10 +271,13 @@ def _roof_pct(fwd_ms, size, tris=32, unc_ms=0.0):
     tests = 2.0 * size * size * tris
     ideal_ms = tests / (MEASURED_GTESTS_S * 1e9) * 1e3
     lo = round(ideal_ms / (fwd_ms + unc_ms) * 100.0, 1)
-    if unc_ms > 0.5 * fwd_ms:
+    pct = round(ideal_ms / fwd_ms * 100.0, 1)
+    if unc_ms > 0.5 * fwd_ms or pct > 100.0:
+        # > 100% of a MEASURED roof means the estimator under-measured
+        # (e.g. the tunnel's intermittent ~20 ms pipelining floor
+        # flattening short chains) — withhold the point estimate.
         return None, [lo, None]
     hi = round(ideal_ms / max(fwd_ms - unc_ms, 1e-9) * 100.0, 1)
-    pct = round(ideal_ms / fwd_ms * 100.0, 1)
     return pct, [lo, hi]
 
 
@@ -318,10 +321,16 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
     res = {}
 
     # --- headline: hard raytrace fwd+bwd -------------------------------
+    # Chain lengths keep every length's EXECUTION time well above the
+    # tunnel's intermittent ~20 ms pipelining floor (a short chain whose
+    # wall is floor-bound flattens the regression and under-reports the
+    # slope — observed live: a default-args run read fwd 0.144 ms /
+    # "129.7% of roof" where three prior runs measured 0.19 ms).
     cfg = RenderConfig(width=size, height=size, mode="clean",
                        use_pallas=use_pallas)
     rt = lambda s, l: raytrace_full(s, cam_rt, l, cfg).image  # noqa: E731
-    train_ms, diag = _chain_train(rt, (scene, lights))
+    train_ms, diag = _chain_train(rt, (scene, lights),
+                                  lengths=(20, 60, 100))
     rays = 2 * size * size
     res["train_ms"] = round(train_ms, 3)
     res["train_unc_ms"] = diag["unc_ms"]
@@ -333,12 +342,12 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
         f"(fixed {diag['fixed_ms']} ms/call, spread {diag['spread']})")
     report(res, False)
 
-    # Longer chains than the train row: the round-5 megakernel forward
-    # is ~0.19 ms/frame, so a 50-iter chain carries only ~9 ms of signal
-    # against the tunnel's ~+-5 ms per-call noise — 100 iters + 8
-    # batches keep the slope uncertainty in single-digit percent.
+    # The ~0.19 ms/frame forward needs long chains twice over: a 50-iter
+    # chain carries only ~9 ms of signal against ~+-5 ms per-call noise,
+    # AND chains under ~100 iters can sit on the tunnel's ~20 ms
+    # pipelining floor (see the train-row note).
     fwd_ms, fdiag = _chain_fwd(rt, (scene, lights),
-                               lengths=(10, 50, 100), batches=8)
+                               lengths=(50, 150, 250), batches=8)
     res["fwd_ms"] = round(fwd_ms, 3)
     res["fwd_mrays"] = round(rays / fwd_ms / 1e3, 1)
     res["fwd_timing"] = fdiag
@@ -352,7 +361,8 @@ def bench_tpu(size=512, iters=20, use_pallas=None, report=None,
 
     # --- hard rasterize fwd+bwd (BASELINE config 2) ---------------------
     rz = lambda s, l: rasterize(s, cam_rz, l, cfg)  # noqa: E731
-    rz_ms, rz_diag = _chain_train(rz, (scene, lights))
+    rz_ms, rz_diag = _chain_train(rz, (scene, lights),
+                                  lengths=(20, 60, 100))
     res["rasterize"] = {
         "train_ms": round(rz_ms, 3),
         "mrays": round(size * size / rz_ms / 1e3, 1),
