@@ -120,12 +120,30 @@ def _slope(time_at, lengths):
             ys.append(statistics.median(bs))
         return _lsq(xs, ys)
 
-    slope, fixed = fit()
-    loo = [fit(drop_batch=(n, k))[0]
-           for n in lengths for k in range(len(batches[n]))]
-    loo_len = [fit(drop_len=n)[0] for n in lengths]
-    unc = max((max(loo) - min(loo)) / 2.0,
-              (max(loo_len) - min(loo_len)) / 2.0)
+    def refit():
+        slope, fixed = fit()
+        loo = [fit(drop_batch=(n, k))[0]
+               for n in lengths for k in range(len(batches[n]))]
+        loo_len = [fit(drop_len=n)[0] for n in lengths]
+        unc = max((max(loo) - min(loo)) / 2.0,
+                  (max(loo_len) - min(loo_len)) / 2.0)
+        return slope, fixed, unc
+
+    slope, fixed, unc = refit()
+    # Stall-retry: a burst of host/tunnel stalls can contaminate a
+    # MAJORITY of one length's batches (observed: 3-of-6 ~200 ms stalls
+    # in a 20-iter ladder), at which point the median itself is polluted
+    # and the leave-one-out uncertainty blows past the slope. Adding
+    # more data (never discarding any — every raw batch stays in the
+    # diag below) restores the median's breakdown point; the retry only
+    # helps if the new batches are consistent, so a genuinely noisy
+    # measurement still reports its honest, large unc_ms.
+    retries = 0
+    while (slope <= 0 or unc > 0.25 * slope) and retries < 2:
+        retries += 1
+        for n in lengths:
+            batches[n] = batches[n] + time_at(n)
+        slope, fixed, unc = refit()
     if slope <= 0:  # pathological stall pattern; conservative bound
         slope = min(batches[lengths[-1]]) / lengths[-1]
     hi = batches[lengths[-1]]
@@ -133,6 +151,7 @@ def _slope(time_at, lengths):
         "slope_ms": round(slope, 4),
         "unc_ms": round(unc, 4),
         "fixed_ms": round(fixed, 2),
+        "retries": retries,
         "lengths": lengths,
         "batches_ms": {str(n): [round(t, 2) for t in batches[n]]
                        for n in lengths},
