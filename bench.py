@@ -5,15 +5,20 @@ Cornell box, hard-visibility raytrace ("clean" mode). One frame = 512^2
 primary rays + 512^2 shadow rays (one light, hard shadows); a fwd+bwd step
 is value_and_grad of an image MSE wrt scene + light parameters.
 
-Timing methodology (round 4): every per-step number is a SLOPE — the
-difference of two chain lengths of real chained steps divided by the
-iteration difference. Round 1-3 divided one chain's wall time by its
-iteration count, which charged the tunnel's fixed ~8 ms per-call
-dispatch cost to the steps (bench/megakernel_lab3.py measured a no-op
-kernel at "0.45 ms/iter" under that method; the real kernel slope is
-0.249 ms). The slope is the marginal steady-state step time — the
-number a training loop actually sees. Raw batch wall times for both
-lengths are recorded under "timing" so stalls are visible ("spread").
+Timing methodology (round 5): every per-step number is a least-squares
+SLOPE over >= 3 chain lengths of real chained steps (per-length batch
+medians), with a leave-one-out half-spread uncertainty and a stall-
+retry that ADDS batches when contamination pollutes a median (_slope;
+unit-tested in tests/test_bench_slope.py). Rounds 1-3 divided one
+chain's wall time by its iteration count, which charged the tunnel's
+fixed ~8-15 ms per-call dispatch cost to the steps
+(bench/megakernel_lab3.py measured a no-op kernel at "0.45 ms/iter"
+under that method; the real kernel slope is 0.249 ms); round 4's
+min-of-4 two-point slope was an extreme statistic that let single-batch
+noise fabricate numbers (VERDICT r4 item 1). The slope is the marginal
+steady-state step time — the number a training loop actually sees. Raw
+batch wall times for EVERY length are recorded under "timing" so stalls
+are visible ("spread", "retries").
 
 The JSON line also records (VERDICT round-1 item 4 — honest accounting):
   fwd_ms             chained forward-only frame slope
